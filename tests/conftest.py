@@ -20,4 +20,7 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin in this image overrides JAX_PLATFORMS at import time;
+# force the CPU backend explicitly (must happen before first backend use).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
