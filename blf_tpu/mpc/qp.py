@@ -1,0 +1,211 @@
+"""Batched fixed-iteration ADMM quadratic-program solver (OSQP-style).
+
+The new-component solver SURVEY.md §7 mandates ("QP solver (batched
+ADMM/OSQP-style)"; BASELINE.json north star): one ``jit``ted solver handling
+thousands of heterogeneous scenarios with **no data-dependent control flow** —
+fixed iteration count, per-lane convergence *flags* instead of early exit
+(SURVEY.md §5 "failure detection": status codes carried in the batch).
+
+Problem form (OSQP):  ``min ½ xᵀPx + qᵀx  s.t.  l ≤ Ax ≤ u``.
+
+Iteration (α-relaxed ADMM, per-constraint penalty ρ):
+
+    (P + σI + AᵀρA) x̃ = σx − q + Aᵀ(ρz − y)
+    x⁺ = αx̃ + (1−α)x
+    z⁺ = clip(α A x̃ + (1−α) z + y/ρ, l, u)
+    y⁺ = y + ρ (α A x̃ + (1−α) z − z⁺)
+
+The KKT matrix is factored **once** per solve (batched Cholesky — MXU work)
+and reused across iterations; equality rows (l == u) get a stiffer ρ as in
+OSQP. Everything broadcasts over leading batch axes and is ``vmap``-free by
+construction (but composes with ``vmap``/``shard_map`` for sharded sweeps).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["QPSolution", "solve_qp"]
+
+
+class QPSolution(NamedTuple):
+    """Per-lane solution + diagnostics (no exceptions on device — SURVEY.md §5)."""
+
+    x: jnp.ndarray               # (…, n) primal solution
+    y: jnp.ndarray               # (…, m) dual solution
+    z: jnp.ndarray               # (…, m) constraint-space iterate
+    primal_residual: jnp.ndarray  # (…,) ‖Ax − z‖∞
+    dual_residual: jnp.ndarray    # (…,) ‖Px + q + Aᵀy‖∞
+    converged: jnp.ndarray        # (…,) bool
+    objective: jnp.ndarray        # (…,) ½xᵀPx + qᵀx
+
+
+def solve_qp(
+    P: jnp.ndarray,
+    q: jnp.ndarray,
+    A: jnp.ndarray,
+    l: jnp.ndarray,
+    u: jnp.ndarray,
+    *,
+    iterations: int = 200,
+    rho: float = 1.0,
+    sigma: float = 1e-6,
+    alpha: float = 1.6,
+    eps_abs: float = 1e-5,
+    eps_rel: float = 1e-5,
+    rho_eq_scale: float = 1e3,
+    scaling_iters: int = 10,
+    check_every: int = 25,
+    x0: Optional[jnp.ndarray] = None,
+    y0: Optional[jnp.ndarray] = None,
+    unroll: int = 1,
+) -> QPSolution:
+    """Solve ``min ½xᵀPx + qᵀx s.t. l ≤ Ax ≤ u`` with fixed-iteration ADMM.
+
+    Shapes: ``P`` (…, n, n) SPSD, ``q`` (…, n), ``A`` (…, m, n), ``l``/``u``
+    (…, m) (use ∓∞ for one-sided rows, ``l == u`` for equalities). ``x0``/``y0``
+    warm-start the iteration — the key latency lever in receding-horizon MPC.
+
+    ``scaling_iters`` rounds of Ruiz equilibration precondition the problem
+    (OSQP's scaling): essential for one jitted solve to handle thousands of
+    heterogeneously-conditioned scenarios (SURVEY.md §7 "batched QP
+    robustness"). Residuals/solution are reported in the ORIGINAL scaling.
+    """
+    P, q, A = jnp.asarray(P), jnp.asarray(q), jnp.asarray(A)
+    l, u = jnp.asarray(l), jnp.asarray(u)
+    n, m = P.shape[-1], A.shape[-2]
+    dtype = P.dtype
+
+    # -- Ruiz equilibration: P̄ = c·D P D, Ā = E A D, q̄ = c·D q, l̄/ū = E l/u --
+    P_orig, q_orig, A_orig = P, q, A
+    D = jnp.ones(P.shape[:-2] + (n,), dtype=dtype)
+    E = jnp.ones(A.shape[:-2] + (m,), dtype=dtype)
+    c = jnp.ones(jnp.broadcast_shapes(P.shape[:-2], q.shape[:-1]), dtype=dtype)
+    for _ in range(scaling_iters):
+        col_norm = jnp.maximum(
+            jnp.max(jnp.abs(P), axis=-2), jnp.max(jnp.abs(A), axis=-2)
+        )
+        dx = 1.0 / jnp.sqrt(jnp.where(col_norm > 1e-12, col_norm, 1.0))
+        row_norm = jnp.max(jnp.abs(A), axis=-1)
+        de = 1.0 / jnp.sqrt(jnp.where(row_norm > 1e-12, row_norm, 1.0))
+        P = dx[..., :, None] * P * dx[..., None, :]
+        A = de[..., :, None] * A * dx[..., None, :]
+        q = q * dx
+        D = D * dx
+        E = E * de
+        # cost normalisation
+        p_cols = jnp.mean(jnp.max(jnp.abs(P), axis=-2), axis=-1)
+        gamma = 1.0 / jnp.maximum(
+            jnp.maximum(p_cols, jnp.max(jnp.abs(q), axis=-1)), 1e-12
+        )
+        P = gamma[..., None, None] * P
+        q = gamma[..., None] * q
+        c = c * gamma
+    l = E * l
+    u = E * u
+    if x0 is not None:
+        x0 = x0 / D                      # x̄ = D⁻¹ x
+    if y0 is not None:
+        y0 = c[..., None] * y0 / E       # ȳ = c E⁻¹ y  (y = E ȳ / c)
+
+    is_eq = (u - l) < 1e-12
+    base_rho = jnp.where(is_eq, rho * rho_eq_scale, rho).astype(dtype)
+
+    At = jnp.swapaxes(A, -1, -2)
+
+    batch = jnp.broadcast_shapes(
+        P.shape[:-2], q.shape[:-1], A.shape[:-2], l.shape[:-1], u.shape[:-1],
+        () if x0 is None else x0.shape[:-1],
+        () if y0 is None else y0.shape[:-1],
+    )
+    x = jnp.broadcast_to(q * 0 if x0 is None else x0, batch + (n,))
+    y = jnp.broadcast_to(
+        jnp.zeros((m,), dtype=dtype) if y0 is None else y0, batch + (m,)
+    )
+    z = jnp.broadcast_to(jnp.einsum("...mn,...n->...m", A, x), batch + (m,))
+
+    def run_stage(x, z, y, rho_scale):
+        """`check_every` ADMM iterations at a fixed per-lane ρ (refactored)."""
+        rho_vec = base_rho * rho_scale[..., None]           # (batch, m)
+        kkt = (
+            P
+            + sigma * jnp.eye(n, dtype=dtype)
+            + jnp.einsum("...nm,...m,...mk->...nk", At, rho_vec, A)
+        )
+        chol = jnp.linalg.cholesky(
+            jnp.broadcast_to(kkt, batch + (n, n))
+        )
+
+        def body(carry, _):
+            x, z, y = carry
+            rhs = sigma * x - q + jnp.einsum(
+                "...nm,...m->...n", At, rho_vec * z - y
+            )
+            x_tilde = jax.scipy.linalg.cho_solve((chol, True), rhs[..., None])[..., 0]
+            x_next = alpha * x_tilde + (1 - alpha) * x
+            Ax_tilde = jnp.einsum("...mn,...n->...m", A, x_tilde)
+            z_relaxed = alpha * Ax_tilde + (1 - alpha) * z
+            z_next = jnp.clip(z_relaxed + y / rho_vec, l, u)
+            y_next = y + rho_vec * (z_relaxed - z_next)
+            return (x_next, z_next, y_next), None
+
+        (x, z, y), _ = jax.lax.scan(
+            body, (x, z, y), None, length=check_every, unroll=unroll
+        )
+        return x, z, y
+
+    check_every = max(1, min(check_every, iterations))
+    n_stages = max(1, -(-iterations // check_every))
+
+    def stage(carry, _):
+        x, z, y, rho_scale = carry
+        x, z, y = run_stage(x, z, y, rho_scale)
+        # OSQP adaptive ρ: balance relative primal vs dual residuals per lane.
+        Ax = jnp.einsum("...mn,...n->...m", A, x)
+        Px_ = jnp.einsum("...nm,...m->...n", P, x)
+        Aty_ = jnp.einsum("...nm,...m->...n", At, y)
+        rp = jnp.max(jnp.abs(Ax - z), axis=-1) / jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Ax), -1), jnp.max(jnp.abs(z), -1)), 1e-12
+        )
+        rd = jnp.max(jnp.abs(Px_ + q + Aty_), axis=-1) / jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Px_), -1),
+                        jnp.maximum(jnp.max(jnp.abs(Aty_), -1),
+                                    jnp.max(jnp.abs(q), -1))), 1e-12
+        )
+        scale = jnp.sqrt(rp / jnp.maximum(rd, 1e-12))
+        rho_scale = jnp.clip(
+            rho_scale * jnp.clip(scale, 0.2, 5.0), 1e-6, 1e6
+        )
+        return (x, z, y, rho_scale), None
+
+    rho_scale = jnp.ones(batch, dtype=dtype)
+    (x, z, y, rho_scale), _ = jax.lax.scan(
+        stage, (x, z, y, rho_scale), None, length=n_stages
+    )
+
+    # -- unscale and report residuals in the original problem ----------------
+    x = D * x
+    y = E * y / c[..., None]
+    z = z / E
+
+    Ax = jnp.einsum("...mn,...n->...m", A_orig, x)
+    r_prim = jnp.max(jnp.abs(Ax - z), axis=-1)
+    Px = jnp.einsum("...nm,...m->...n", P_orig, x)
+    Aty = jnp.einsum("...nm,...m->...n", jnp.swapaxes(A_orig, -1, -2), y)
+    r_dual = jnp.max(jnp.abs(Px + q_orig + Aty), axis=-1)
+    # OSQP-style relative tolerances (scale-free convergence check)
+    prim_tol = eps_abs + eps_rel * jnp.maximum(
+        jnp.max(jnp.abs(Ax), axis=-1), jnp.max(jnp.abs(z), axis=-1)
+    )
+    dual_tol = eps_abs + eps_rel * jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(Px), axis=-1), jnp.max(jnp.abs(Aty), axis=-1)),
+        jnp.max(jnp.abs(q_orig), axis=-1),
+    )
+    converged = (r_prim < prim_tol) & (r_dual < dual_tol)
+    objective = 0.5 * jnp.einsum("...n,...nm,...m->...", x, P_orig, x) + jnp.einsum(
+        "...n,...n->...", q_orig, x
+    )
+    return QPSolution(x, y, z, r_prim, r_dual, converged, objective)

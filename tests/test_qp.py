@@ -1,0 +1,145 @@
+"""Batched ADMM QP solver tests: against closed forms and scipy (SLSQP)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blf_tpu.mpc.qp import solve_qp
+
+RNG = np.random.default_rng(0)
+
+
+def random_spd(n, rng=RNG):
+    B = rng.normal(size=(n, n))
+    return B @ B.T + n * np.eye(n)
+
+
+class TestUnconstrained:
+    def test_matches_closed_form(self):
+        n = 8
+        P = jnp.asarray(random_spd(n))
+        q = jnp.asarray(RNG.normal(size=n))
+        A = jnp.zeros((1, n))
+        sol = solve_qp(P, q, A, jnp.array([-jnp.inf]), jnp.array([jnp.inf]),
+                       iterations=300)
+        np.testing.assert_allclose(
+            np.asarray(sol.x), np.linalg.solve(np.asarray(P), -np.asarray(q)),
+            atol=1e-6,
+        )
+        assert bool(sol.converged)
+
+
+class TestConstrained:
+    def make_problem(self, n=6, m=4, rng=None):
+        rng = rng or np.random.default_rng(7)
+        P = random_spd(n, rng)
+        q = rng.normal(size=n)
+        A = rng.normal(size=(m, n))
+        # bounds around a feasible point so the problem is well-posed
+        x_feas = rng.normal(size=n) * 0.1
+        c = A @ x_feas
+        l = c - rng.uniform(0.05, 0.5, size=m)
+        u = c + rng.uniform(0.05, 0.5, size=m)
+        return P, q, A, l, u
+
+    def scipy_solve(self, P, q, A, l, u):
+        from scipy.optimize import minimize
+
+        cons = [
+            {"type": "ineq", "fun": lambda x, A=A, u=u: u - A @ x},
+            {"type": "ineq", "fun": lambda x, A=A, l=l: A @ x - l},
+        ]
+        res = minimize(
+            lambda x: 0.5 * x @ P @ x + q @ x,
+            np.zeros_like(q),
+            jac=lambda x: P @ x + q,
+            constraints=cons,
+            method="SLSQP",
+            options={"maxiter": 500, "ftol": 1e-12},
+        )
+        assert res.success
+        return res.x
+
+    def test_matches_scipy_active_constraints(self):
+        for seed in range(5):
+            rng = np.random.default_rng(seed)
+            P, q, A, l, u = self.make_problem(rng=rng)
+            ref = self.scipy_solve(P, q, A, l, u)
+            sol = solve_qp(jnp.asarray(P), jnp.asarray(q), jnp.asarray(A),
+                           jnp.asarray(l), jnp.asarray(u), iterations=2000)
+            np.testing.assert_allclose(np.asarray(sol.x), ref, atol=1e-4)
+            assert bool(sol.converged), seed
+
+    def test_equality_constraints(self):
+        n = 5
+        P = jnp.asarray(random_spd(n))
+        q = jnp.asarray(RNG.normal(size=n))
+        A = jnp.asarray(RNG.normal(size=(2, n)))
+        b = jnp.asarray(RNG.normal(size=2) * 0.1)
+        sol = solve_qp(P, q, A, b, b, iterations=500)
+        np.testing.assert_allclose(np.asarray(A @ sol.x), np.asarray(b), atol=1e-6)
+        # KKT: Px + q + Aᵀy = 0
+        kkt = np.asarray(P @ sol.x + q + A.T @ sol.y)
+        np.testing.assert_allclose(kkt, 0, atol=1e-4)
+
+    def test_active_box_clips(self):
+        # min ½‖x − c‖² s.t. −1 ≤ x ≤ 1, c outside the box → x* = clip(c)
+        n = 4
+        c = jnp.array([2.0, -3.0, 0.5, 1.5])
+        P = jnp.eye(n)
+        sol = solve_qp(P, -c, jnp.eye(n), -jnp.ones(n), jnp.ones(n),
+                       iterations=300)
+        np.testing.assert_allclose(
+            np.asarray(sol.x), np.clip(np.asarray(c), -1, 1), atol=1e-6
+        )
+
+
+class TestBatched:
+    def test_vmap_equals_per_lane(self):
+        probs = [TestConstrained().make_problem(rng=np.random.default_rng(s))
+                 for s in range(8)]
+        Ps = jnp.stack([jnp.asarray(p[0]) for p in probs])
+        qs = jnp.stack([jnp.asarray(p[1]) for p in probs])
+        As = jnp.stack([jnp.asarray(p[2]) for p in probs])
+        ls = jnp.stack([jnp.asarray(p[3]) for p in probs])
+        us = jnp.stack([jnp.asarray(p[4]) for p in probs])
+        batched = jax.jit(
+            lambda: solve_qp(Ps, qs, As, ls, us, iterations=500)
+        )()
+        for k in range(8):
+            solo = solve_qp(Ps[k], qs[k], As[k], ls[k], us[k], iterations=500)
+            np.testing.assert_allclose(
+                np.asarray(batched.x[k]), np.asarray(solo.x), atol=1e-8
+            )
+        assert batched.converged.shape == (8,)
+
+    def test_broadcast_without_vmap(self):
+        """solve_qp broadcasts natively over leading axes (no vmap)."""
+        P, q, A, l, u = TestConstrained().make_problem()
+        qs = jnp.stack([jnp.asarray(q), jnp.asarray(q) * 2.0])
+        sol = solve_qp(
+            jnp.asarray(P), qs, jnp.asarray(A), jnp.asarray(l), jnp.asarray(u),
+            iterations=800,
+        )
+        assert sol.x.shape == (2, 6)
+        solo = solve_qp(jnp.asarray(P), jnp.asarray(q) * 2.0, jnp.asarray(A),
+                        jnp.asarray(l), jnp.asarray(u), iterations=800)
+        np.testing.assert_allclose(np.asarray(sol.x[1]), np.asarray(solo.x), atol=1e-8)
+
+
+class TestDiagnostics:
+    def test_unconverged_flag_on_tight_budget(self):
+        P, q, A, l, u = TestConstrained().make_problem()
+        sol = solve_qp(jnp.asarray(P), jnp.asarray(q), jnp.asarray(A),
+                       jnp.asarray(l), jnp.asarray(u), iterations=3)
+        assert not bool(sol.converged)
+
+    def test_warm_start_speeds_convergence(self):
+        P, q, A, l, u = TestConstrained().make_problem()
+        args = (jnp.asarray(P), jnp.asarray(q), jnp.asarray(A),
+                jnp.asarray(l), jnp.asarray(u))
+        cold = solve_qp(*args, iterations=2000)
+        warm = solve_qp(*args, iterations=30, x0=cold.x, y0=cold.y)
+        assert float(warm.primal_residual) < 1e-6
+        np.testing.assert_allclose(np.asarray(warm.x), np.asarray(cold.x), atol=1e-5)
