@@ -1,0 +1,95 @@
+"""Benchmark: batched DCM-MPC throughput on one TPU chip.
+
+Metric: **warm-started DCM-MPC solves per second per chip** on the
+push-recovery fleet tick (BASELINE config 5 in miniature: batched QP solve +
+fleet reduction + state advance + RLS update, all in one jitted program).
+
+Baseline derivation (BASELINE.json north star): ≥4096 concurrent scenarios
+solved *in real time* on a v5e-16 (16 chips) with a 10 Hz replan cycle
+⇒ 4096/16 × 10 = **2560 solves/s/chip** is the real-time bar.
+``vs_baseline`` = measured / 2560 (≥ 1.0 beats the target).
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from blf_tpu.parallel.mesh import make_mesh, shard_batch
+    from blf_tpu.parallel.sweep import init_fleet, make_fleet_step
+    from __graft_entry__ import _example_problem
+
+    dtype = jnp.float32
+    batch = 4096
+    horizon = 16
+    iterations = 100          # warm-started receding-horizon budget
+    replan_hz = 10.0          # 0.1 s control period (real-time definition)
+
+    mesh = make_mesh(1, model_axis=1)
+    params, dt, _, _, _, _, _ = _example_problem(batch, horizon, dtype)
+    # Stationary push-recovery task: time-invariant receding horizon, so the
+    # warm-started steady state is the true production workload.
+    stance = jnp.zeros(2, dtype)
+    zmp_ref = jnp.broadcast_to(stance, (horizon, 2))
+    dcm_ref = jnp.broadcast_to(stance, (horizon + 1, 2))
+    poly_A = jnp.tile(
+        jnp.asarray([[1.0, 0], [-1.0, 0], [0, 1.0], [0, -1.0]], dtype),
+        (horizon, 1, 1),
+    )
+    poly_b = jnp.broadcast_to(jnp.asarray([0.1, 0.1, 0.06, 0.06], dtype),
+                              (horizon, 4))
+    num_constraints = 2 * horizon + horizon * poly_A.shape[-2]
+    state = init_fleet(
+        batch, horizon, num_constraints,
+        jnp.array([0.01, -0.01], dtype), jnp.array([0.01, -0.01], dtype),
+        dtype=dtype,
+    )
+    state = shard_batch(state, mesh)
+    rng = np.random.default_rng(0)
+    dist = jnp.asarray(rng.normal(0, 0.004, (batch, 1, 2)), dtype)
+
+    step = make_fleet_step(mesh, params, dt, iterations=iterations)
+
+    # warmup / compile + reach warm-started steady state
+    for _ in range(3):
+        state, result = step(state, dist, dcm_ref, zmp_ref, poly_A, poly_b)
+    jax.block_until_ready(state.dcm)
+
+    ticks = 10
+    t0 = time.perf_counter()
+    for _ in range(ticks):
+        state, result = step(state, dist, dcm_ref, zmp_ref, poly_A, poly_b)
+    jax.block_until_ready(state.dcm)
+    elapsed = time.perf_counter() - t0
+
+    tick_time = elapsed / ticks
+    solves_per_sec = batch / tick_time
+    realtime_bar = 4096.0 / 16.0 * replan_hz  # 2560 solves/s/chip
+
+    print(json.dumps({
+        "metric": "dcm_mpc_solves_per_sec_per_chip",
+        "value": round(solves_per_sec, 1),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(solves_per_sec / realtime_bar, 3),
+        "detail": {
+            "batch": batch,
+            "horizon_knots": horizon,
+            "admm_iterations": iterations,
+            "tick_ms": round(tick_time * 1e3, 2),
+            "num_converged": float(result.stats.num_converged),
+            "max_primal_residual": float(result.stats.max_primal_residual),
+            "device": str(jax.devices()[0]),
+            "dtype": "float32",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,16 @@ import jax.numpy as jnp
 
 __all__ = ["QPSolution", "solve_qp"]
 
+# TPU MXU defaults to bf16-accumulated matmuls for f32 inputs, which floors
+# ADMM residuals around 1e-3; all solver contractions force full f32 passes.
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _einsum(spec, *ops):
+    return jnp.einsum(spec, *ops, precision=_PRECISION)
+
+
+
 
 class QPSolution(NamedTuple):
     """Per-lane solution + diagnostics (no exceptions on device — SURVEY.md §5)."""
@@ -125,7 +135,7 @@ def solve_qp(
     y = jnp.broadcast_to(
         jnp.zeros((m,), dtype=dtype) if y0 is None else y0, batch + (m,)
     )
-    z = jnp.broadcast_to(jnp.einsum("...mn,...n->...m", A, x), batch + (m,))
+    z = jnp.broadcast_to(_einsum("...mn,...n->...m", A, x), batch + (m,))
 
     def run_stage(x, z, y, rho_scale):
         """`check_every` ADMM iterations at a fixed per-lane ρ (refactored)."""
@@ -133,7 +143,7 @@ def solve_qp(
         kkt = (
             P
             + sigma * jnp.eye(n, dtype=dtype)
-            + jnp.einsum("...nm,...m,...mk->...nk", At, rho_vec, A)
+            + _einsum("...nm,...m,...mk->...nk", At, rho_vec, A)
         )
         chol = jnp.linalg.cholesky(
             jnp.broadcast_to(kkt, batch + (n, n))
@@ -141,12 +151,12 @@ def solve_qp(
 
         def body(carry, _):
             x, z, y = carry
-            rhs = sigma * x - q + jnp.einsum(
+            rhs = sigma * x - q + _einsum(
                 "...nm,...m->...n", At, rho_vec * z - y
             )
             x_tilde = jax.scipy.linalg.cho_solve((chol, True), rhs[..., None])[..., 0]
             x_next = alpha * x_tilde + (1 - alpha) * x
-            Ax_tilde = jnp.einsum("...mn,...n->...m", A, x_tilde)
+            Ax_tilde = _einsum("...mn,...n->...m", A, x_tilde)
             z_relaxed = alpha * Ax_tilde + (1 - alpha) * z
             z_next = jnp.clip(z_relaxed + y / rho_vec, l, u)
             y_next = y + rho_vec * (z_relaxed - z_next)
@@ -164,9 +174,9 @@ def solve_qp(
         x, z, y, rho_scale = carry
         x, z, y = run_stage(x, z, y, rho_scale)
         # OSQP adaptive ρ: balance relative primal vs dual residuals per lane.
-        Ax = jnp.einsum("...mn,...n->...m", A, x)
-        Px_ = jnp.einsum("...nm,...m->...n", P, x)
-        Aty_ = jnp.einsum("...nm,...m->...n", At, y)
+        Ax = _einsum("...mn,...n->...m", A, x)
+        Px_ = _einsum("...nm,...m->...n", P, x)
+        Aty_ = _einsum("...nm,...m->...n", At, y)
         rp = jnp.max(jnp.abs(Ax - z), axis=-1) / jnp.maximum(
             jnp.maximum(jnp.max(jnp.abs(Ax), -1), jnp.max(jnp.abs(z), -1)), 1e-12
         )
@@ -191,10 +201,10 @@ def solve_qp(
     y = E * y / c[..., None]
     z = z / E
 
-    Ax = jnp.einsum("...mn,...n->...m", A_orig, x)
+    Ax = _einsum("...mn,...n->...m", A_orig, x)
     r_prim = jnp.max(jnp.abs(Ax - z), axis=-1)
-    Px = jnp.einsum("...nm,...m->...n", P_orig, x)
-    Aty = jnp.einsum("...nm,...m->...n", jnp.swapaxes(A_orig, -1, -2), y)
+    Px = _einsum("...nm,...m->...n", P_orig, x)
+    Aty = _einsum("...nm,...m->...n", jnp.swapaxes(A_orig, -1, -2), y)
     r_dual = jnp.max(jnp.abs(Px + q_orig + Aty), axis=-1)
     # OSQP-style relative tolerances (scale-free convergence check)
     prim_tol = eps_abs + eps_rel * jnp.maximum(
@@ -205,7 +215,7 @@ def solve_qp(
         jnp.max(jnp.abs(q_orig), axis=-1),
     )
     converged = (r_prim < prim_tol) & (r_dual < dual_tol)
-    objective = 0.5 * jnp.einsum("...n,...nm,...m->...", x, P_orig, x) + jnp.einsum(
+    objective = 0.5 * _einsum("...n,...nm,...m->...", x, P_orig, x) + _einsum(
         "...n,...n->...", q_orig, x
     )
     return QPSolution(x, y, z, r_prim, r_dual, converged, objective)

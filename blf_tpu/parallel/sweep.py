@@ -1,0 +1,175 @@
+"""Sharded MPC fleet step — the framework's "training step" equivalent.
+
+One control tick for a fleet of push-recovery scenarios (BASELINE config 5),
+expressed as a single ``shard_map`` program over a ``(data, model)`` mesh:
+
+- ``data`` axis: scenario data-parallelism — each device group owns a slice
+  of the fleet; lanes never migrate, so the only cross-device traffic is the
+  collective reduction of solver statistics (ICI-friendly).
+- ``model`` axis: **disturbance-ensemble parallelism** — each model-lane
+  solves its scenario slice under a different push realization; ensemble
+  consensus (``pmean`` of plans) and worst-case constraint margins
+  (``pmax``) are reduced across the axis. With ``model = 1`` this degenerates
+  to pure DP.
+
+The tick = warm-started batched DCM-MPC solve → fleet-stat reduction →
+state advance under the consensus plan + disturbance → per-lane RLS update
+of a ZMP-offset disturbance estimate (the Estimators stack riding along with
+the controller, SURVEY.md §3.2's pairing).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from blf_tpu.estimators.rls import RLSParams, RLSState, rls_step
+from blf_tpu.models.lipm import LIPMParams, com_discrete_step, lipm_omega
+from blf_tpu.mpc.dcm import DCMWeights, solve_dcm_mpc
+from blf_tpu.parallel.collectives import FleetStats, reduce_fleet_stats
+
+__all__ = ["FleetState", "TickResult", "make_fleet_step", "init_fleet"]
+
+
+class FleetState(NamedTuple):
+    """Per-scenario persistent state, leading axis = fleet batch."""
+
+    dcm: jnp.ndarray        # (B, 2)
+    com: jnp.ndarray        # (B, 2)
+    warm_zmp: jnp.ndarray   # (B, N, 2) previous plan (primal warm start)
+    warm_y: jnp.ndarray     # (B, M) previous duals
+    offset_theta: jnp.ndarray  # (B, 2) RLS estimate of the ZMP disturbance offset
+    offset_cov: jnp.ndarray    # (B, 2, 2)
+
+
+class TickResult(NamedTuple):
+    stats: FleetStats
+    worst_margin: jnp.ndarray   # scalar: worst ensemble constraint margin
+    consensus_zmp0: jnp.ndarray  # (B, 2) first-knot consensus plan
+
+
+def init_fleet(batch: int, horizon: int, num_constraints: int, dcm0, com0,
+               dtype=jnp.float32) -> FleetState:
+    """Fleet state with zeroed warm starts and a fresh offset estimator."""
+    dcm0 = jnp.broadcast_to(jnp.asarray(dcm0, dtype), (batch, 2))
+    com0 = jnp.broadcast_to(jnp.asarray(com0, dtype), (batch, 2))
+    return FleetState(
+        dcm=dcm0,
+        com=com0,
+        warm_zmp=jnp.zeros((batch, horizon, 2), dtype),
+        warm_y=jnp.zeros((batch, num_constraints), dtype),
+        offset_theta=jnp.zeros((batch, 2), dtype),
+        offset_cov=jnp.broadcast_to(jnp.eye(2, dtype=dtype), (batch, 2, 2)) * 10.0,
+    )
+
+
+def make_fleet_step(
+    mesh: Mesh,
+    params: LIPMParams,
+    dt: float,
+    weights: Optional[DCMWeights] = None,
+    iterations: int = 200,
+    rls_lambda: float = 0.98,
+    meas_noise: float = 1e-4,
+):
+    """Build the jitted sharded tick function.
+
+    Returns ``step(state, disturbance, dcm_ref, zmp_ref, poly_A, poly_b)
+    -> (FleetState, TickResult)`` where ``disturbance`` is ``(B, K, 2)`` with
+    ``K`` = mesh model-axis size (one push realization per ensemble lane).
+    """
+    data_axis, model_axis = mesh.axis_names
+
+    rls_params = RLSParams(
+        lam=jnp.asarray(rls_lambda),
+        measurement_covariance=meas_noise * jnp.eye(2),
+    )
+
+    def tick(state: FleetState, disturbance, dcm_ref, zmp_ref, poly_A, poly_b):
+        # local shapes: state (B', …); disturbance (B', 1, 2) — this lane's draw
+        dist = disturbance[:, 0, :]
+        omega_dt = lipm_omega(params) * jnp.asarray(dt, state.dcm.dtype)
+        a = jnp.exp(omega_dt)
+
+        # ensemble-perturbed initial DCM: each model-lane solves its own draw
+        dcm0 = state.dcm + dist + state.offset_theta
+
+        solve = jax.vmap(
+            lambda d0, c0, wz, wy: solve_dcm_mpc(
+                params, dt, d0, c0, dcm_ref, zmp_ref, poly_A, poly_b,
+                weights, iterations=iterations,
+                warm_start=wz, warm_start_dual=wy,
+            )
+        )
+        plans = solve(dcm0, state.com, state.warm_zmp, state.warm_y)
+
+        # collective QP reduce over the whole fleet: sum/max over the data
+        # axis, then combine the ensemble copies (mean counts, worst residuals)
+        stats = reduce_fleet_stats(plans.qp, data_axis)
+        stats = FleetStats(
+            num_scenarios=jax.lax.pmean(stats.num_scenarios, model_axis),
+            num_converged=jax.lax.pmean(stats.num_converged, model_axis),
+            max_primal_residual=jax.lax.pmax(stats.max_primal_residual, model_axis),
+            max_dual_residual=jax.lax.pmax(stats.max_dual_residual, model_axis),
+            mean_objective=jax.lax.pmean(stats.mean_objective, model_axis),
+        )
+
+        # worst-case constraint margin across the disturbance ensemble
+        margins = jnp.einsum("kfa,...ka->...kf", poly_A, plans.zmp) - poly_b
+        worst = jax.lax.pmax(
+            jax.lax.pmax(jnp.max(margins), model_axis), data_axis
+        )
+
+        # consensus plan: certainty-equivalent average over the ensemble
+        zmp_consensus = jax.lax.pmean(plans.zmp, model_axis)
+        y_consensus = jax.lax.pmean(plans.qp.y, model_axis)
+
+        # advance the TRUE scenario state one knot under the consensus plan
+        # and this scenario's actual (lane-0) disturbance
+        z0 = zmp_consensus[:, 0, :]
+        true_dist = jax.lax.pmean(dist, model_axis)  # shared push realization
+        dcm_next = a * state.dcm + (1 - a) * z0 + true_dist
+        com_next = com_discrete_step(params, state.com, state.dcm, z0, dt)
+
+        # RLS: observed DCM transition residual identifies the offset
+        # ξ⁺ − (a ξ + (1−a) z₀) = (1−a)·offset… regressor = (1−a) I₂
+        regressor = (1 - a) * jnp.broadcast_to(
+            jnp.eye(2, dtype=z0.dtype), (z0.shape[0], 2, 2)
+        )
+        measurement = dcm_next - (a * state.dcm + (1 - a) * z0)
+        est = jax.vmap(lambda th, cv, A_, y_: rls_step(
+            rls_params, RLSState(th, cv), A_, y_
+        ))(state.offset_theta, state.offset_cov, regressor, measurement)
+
+        new_state = FleetState(
+            dcm=dcm_next,
+            com=com_next,
+            warm_zmp=zmp_consensus,
+            warm_y=y_consensus,
+            offset_theta=est.theta,
+            offset_cov=est.covariance,
+        )
+        return new_state, TickResult(stats, worst, z0)
+
+    state_spec = FleetState(
+        dcm=P(data_axis), com=P(data_axis), warm_zmp=P(data_axis),
+        warm_y=P(data_axis), offset_theta=P(data_axis), offset_cov=P(data_axis),
+    )
+    result_spec = TickResult(
+        stats=FleetStats(P(), P(), P(), P(), P()),
+        worst_margin=P(),
+        consensus_zmp0=P(data_axis),
+    )
+    sharded = shard_map(
+        tick,
+        mesh=mesh,
+        in_specs=(state_spec, P(data_axis, model_axis), P(), P(), P(), P()),
+        out_specs=(state_spec, result_spec),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
