@@ -118,6 +118,8 @@ def com_trajectory_from_dcm(params: LIPMParams, com0, dcm_traj, zmp_knots, dt):
 
     xis = jnp.moveaxis(dcm_traj[..., :-1, :], -2, 0)
     zs = jnp.moveaxis(zmp_knots, -2, 0)
+    # merge varying mesh axes of the inputs into the carry (shard_map typing)
+    com0 = com0 + 0 * xis[0] + 0 * zs[0]
     _, xs = jax.lax.scan(body, com0, (xis, zs))
     return jnp.concatenate(
         [com0[..., None, :], jnp.moveaxis(xs, 0, -2)], axis=-2

@@ -131,11 +131,14 @@ def solve_qp(
         () if x0 is None else x0.shape[:-1],
         () if y0 is None else y0.shape[:-1],
     )
-    x = jnp.broadcast_to(q * 0 if x0 is None else x0, batch + (n,))
-    y = jnp.broadcast_to(
-        jnp.zeros((m,), dtype=dtype) if y0 is None else y0, batch + (m,)
-    )
+    # Initial iterates are derived from (or merged with) the inputs rather
+    # than fresh constants, so that under shard_map the scan carries inherit
+    # the union of the inputs' varying mesh axes.
+    x = jnp.broadcast_to(q * 0 if x0 is None else x0 + q * 0, batch + (n,))
     z = jnp.broadcast_to(_einsum("...mn,...n->...m", A, x), batch + (m,))
+    zero_m = z * 0 + (l * 0 + u * 0) * 0 if jnp.issubdtype(dtype, jnp.floating) else z * 0
+    zero_m = jnp.where(jnp.isnan(zero_m), 0.0, zero_m)  # ±inf bounds → 0·inf = nan
+    y = jnp.broadcast_to(zero_m if y0 is None else y0 + zero_m, batch + (m,))
 
     def run_stage(x, z, y, rho_scale):
         """`check_every` ADMM iterations at a fixed per-lane ρ (refactored)."""
@@ -191,7 +194,7 @@ def solve_qp(
         )
         return (x, z, y, rho_scale), None
 
-    rho_scale = jnp.ones(batch, dtype=dtype)
+    rho_scale = jnp.broadcast_to(x[..., 0] * 0 + 1, batch)
     (x, z, y, rho_scale), _ = jax.lax.scan(
         stage, (x, z, y, rho_scale), None, length=n_stages
     )

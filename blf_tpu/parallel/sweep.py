@@ -26,7 +26,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from blf_tpu.estimators.rls import RLSParams, RLSState, rls_step
 from blf_tpu.models.lipm import LIPMParams, com_discrete_step, lipm_omega
@@ -170,6 +170,5 @@ def make_fleet_step(
         mesh=mesh,
         in_specs=(state_spec, P(data_axis, model_axis), P(), P(), P(), P()),
         out_specs=(state_spec, result_spec),
-        check_rep=False,
     )
     return jax.jit(sharded)
