@@ -57,6 +57,11 @@ __all__ = [
     "floating_base_dynamics",
     "frame_velocity",
     "frame_kinematics",
+    "frame_bias_acceleration",
+    "com_position",
+    "com_jacobian",
+    "com_velocity",
+    "com_bias_acceleration",
 ]
 
 GRAVITY = jnp.array([0.0, 0.0, -9.81])
@@ -198,6 +203,75 @@ def frame_kinematics(tree: KinematicTree, poses: LinkPoses, frame: str, nu):
     """(rotation, position, velocity6) of a named frame in one go."""
     R, p = frame_pose(tree, poses, frame)
     return R, p, frame_jacobian(tree, poses, frame) @ nu
+
+
+def frame_bias_acceleration(tree: KinematicTree, base_position, base_rotation,
+                            q, base_twist, qdot, frame: str) -> jnp.ndarray:
+    """``J̇_f ν`` (6,) — the frame acceleration at zero generalized
+    acceleration, exact via ``jax.jvp`` along the state flow (the same trick
+    :func:`bias_forces` uses). Needed by acceleration-level contact
+    constraints in the whole-body QP."""
+    nu = jnp.concatenate([base_twist, qdot])
+
+    def vel(bp, bR, qq):
+        poses = forward_kinematics(tree, bp, bR, qq)
+        return frame_jacobian(tree, poses, frame) @ nu
+
+    _, jdot_nu = jax.jvp(
+        vel,
+        (base_position, base_rotation, q),
+        (base_twist[:3], skew(base_twist[3:]) @ base_rotation, qdot),
+    )
+    return jdot_nu
+
+
+# -- Centre of mass ---------------------------------------------------------
+
+def com_position(tree: KinematicTree, poses: LinkPoses) -> jnp.ndarray:
+    """World CoM (3,)."""
+    m = jnp.asarray(tree.mass, dtype=poses.position.dtype)
+    com_links = poses.position + jnp.einsum(
+        "lij,lj->li", poses.rotation,
+        jnp.asarray(tree.com, dtype=poses.position.dtype),
+    )
+    return (m @ com_links) / jnp.sum(m)
+
+
+def com_jacobian(tree: KinematicTree, poses: LinkPoses) -> jnp.ndarray:
+    """Linear CoM Jacobian (3, 6+n): ``ẋ_com = J_com ν``
+    (iDynTree ``getCenterOfMassJacobian`` equivalent)."""
+    from blf_tpu.models.kinematics import point_jacobian_columns
+
+    m = jnp.asarray(tree.mass, dtype=poses.position.dtype)
+    total = jnp.sum(m)
+    J = jnp.zeros((3, 6 + tree.num_dofs), dtype=poses.position.dtype)
+    for i in range(tree.num_links):
+        ci = poses.position[i] + poses.rotation[i] @ jnp.asarray(
+            tree.com[i], dtype=poses.position.dtype
+        )
+        J = J + m[i] * point_jacobian_columns(tree, poses, i, ci)[:3]
+    return J / total
+
+
+def com_velocity(tree: KinematicTree, poses: LinkPoses, nu) -> jnp.ndarray:
+    return com_jacobian(tree, poses) @ nu
+
+
+def com_bias_acceleration(tree: KinematicTree, base_position, base_rotation,
+                          q, base_twist, qdot) -> jnp.ndarray:
+    """``J̇_com ν`` (3,), exact via jvp (see :func:`frame_bias_acceleration`)."""
+    nu = jnp.concatenate([base_twist, qdot])
+
+    def vel(bp, bR, qq):
+        poses = forward_kinematics(tree, bp, bR, qq)
+        return com_jacobian(tree, poses) @ nu
+
+    _, jdot_nu = jax.jvp(
+        vel,
+        (base_position, base_rotation, q),
+        (base_twist[:3], skew(base_twist[3:]) @ base_rotation, qdot),
+    )
+    return jdot_nu
 
 
 # ---------------------------------------------------------------------------
