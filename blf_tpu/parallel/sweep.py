@@ -99,14 +99,14 @@ def make_fleet_step(
         # ensemble-perturbed initial DCM: each model-lane solves its own draw
         dcm0 = state.dcm + dist + state.offset_theta
 
-        solve = jax.vmap(
-            lambda d0, c0, wz, wy: solve_dcm_mpc(
-                params, dt, d0, c0, dcm_ref, zmp_ref, poly_A, poly_b,
-                weights, iterations=iterations,
-                warm_start=wz, warm_start_dual=wy,
-            )
+        # fleet fast path: shared (P, A), batch rides on dcm0/warm starts —
+        # one KKT factorization, GEMM-shaped ADMM iterations (solve_qp_shared)
+        plans = solve_dcm_mpc(
+            params, dt, dcm0, state.com, dcm_ref, zmp_ref, poly_A, poly_b,
+            weights, iterations=iterations,
+            warm_start=state.warm_zmp, warm_start_dual=state.warm_y,
+            shared=True,
         )
-        plans = solve(dcm0, state.com, state.warm_zmp, state.warm_y)
 
         # collective QP reduce over the whole fleet: sum/max over the data
         # axis, then combine the ensemble copies (mean counts, worst residuals)
@@ -130,18 +130,19 @@ def make_fleet_step(
         y_consensus = jax.lax.pmean(plans.qp.y, model_axis)
 
         # advance the TRUE scenario state one knot under the consensus plan
-        # and this scenario's actual (lane-0) disturbance
+        # and the fleet's actual push realization
         z0 = zmp_consensus[:, 0, :]
         true_dist = jax.lax.pmean(dist, model_axis)  # shared push realization
         dcm_next = a * state.dcm + (1 - a) * z0 + true_dist
         com_next = com_discrete_step(params, state.com, state.dcm, z0, dt)
 
-        # RLS: observed DCM transition residual identifies the offset
-        # ξ⁺ − (a ξ + (1−a) z₀) = (1−a)·offset… regressor = (1−a) I₂
-        regressor = (1 - a) * jnp.broadcast_to(
+        # RLS: identify the UNMODELED additive DCM disturbance — the observed
+        # transition residual minus the push the ensemble already anticipated
+        # (otherwise the planner would double-compensate a modeled push).
+        regressor = jnp.broadcast_to(
             jnp.eye(2, dtype=z0.dtype), (z0.shape[0], 2, 2)
         )
-        measurement = dcm_next - (a * state.dcm + (1 - a) * z0)
+        measurement = dcm_next - (a * state.dcm + (1 - a) * z0) - true_dist
         est = jax.vmap(lambda th, cv, A_, y_: rls_step(
             rls_params, RLSState(th, cv), A_, y_
         ))(state.offset_theta, state.offset_cov, regressor, measurement)

@@ -96,15 +96,25 @@ class TestShardedFleet:
         _, result = step(shard_batch(state, mesh), disturbance, dcm_ref,
                          zmp_ref, poly_A, poly_b)
 
-        plans = jax.vmap(
-            lambda d0, c0, wz, wy: solve_dcm_mpc(
-                PARAMS, DT, d0, c0, dcm_ref, zmp_ref, poly_A, poly_b,
-                iterations=150, warm_start=wz, warm_start_dual=wy,
-            )
-        )(state.dcm, state.com, state.warm_zmp, state.warm_y)
+        plans = solve_dcm_mpc(
+            PARAMS, DT, state.dcm, state.com, dcm_ref, zmp_ref, poly_A,
+            poly_b, iterations=150, warm_start=state.warm_zmp,
+            warm_start_dual=state.warm_y, shared=True,
+        )
         np.testing.assert_allclose(
             np.asarray(result.consensus_zmp0), np.asarray(plans.zmp[:, 0, :]),
             atol=1e-10,
+        )
+        # and the general per-lane solver agrees to solver tolerance
+        general = jax.vmap(
+            lambda d0, c0, wz, wy: solve_dcm_mpc(
+                PARAMS, DT, d0, c0, dcm_ref, zmp_ref, poly_A, poly_b,
+                iterations=400, warm_start=wz, warm_start_dual=wy,
+            )
+        )(state.dcm, state.com, state.warm_zmp, state.warm_y)
+        np.testing.assert_allclose(
+            np.asarray(result.consensus_zmp0), np.asarray(general.zmp[:, 0, :]),
+            atol=1e-3,
         )
 
     def test_multi_tick_balance_stability(self):
