@@ -337,30 +337,37 @@ def solve_qp_shared(
         [5.0 ** (k - LEVELS // 2) for k in range(LEVELS)], dtype
     )
     eye_n = jnp.eye(n, dtype=dtype)
-    chols = jnp.stack([
-        jnp.linalg.cholesky(
-            P + sigma * eye_n + (A.T * (base_rho * s)) @ A
-        )
-        for s in level_scales
+    kkts = jnp.stack([
+        P + sigma * eye_n + (A.T * (base_rho * s)) @ A for s in level_scales
     ])                                                        # (K, n, n)
+    chols = jnp.linalg.cholesky(kkts)
+    # Explicit inverses turn the per-iteration solve into pure GEMMs (the
+    # trsm was 64% of device time); one iterative-refinement pass restores
+    # the accuracy an f32 inverse loses (bias ~(cond·eps)² ≈ 1e-9).
+    kinvs = jax.vmap(
+        lambda ch: jax.scipy.linalg.cho_solve((ch, True), eye_n)
+    )(chols)                                                   # (K, n, n)
 
     def run_stage(x, z, y, level):
         rho_lane = level_scales[level][..., None] * base_rho   # (batch, m)
+        # one-hot level select folded into the K-stacked GEMMs (a
+        # take_along_axis gather here cost ~20% of device time)
+        onehot = jax.nn.one_hot(level, LEVELS, dtype=dtype)    # (batch, K)
+
+        kinv_t = jnp.swapaxes(kinvs, -1, -2)
+        kkt_t = jnp.swapaxes(kkts, -1, -2)
+
+        def solve_kkt(rhs):
+            cands = _einsum("...n,knm->...km", rhs, kinv_t)       # K GEMMs
+            x1 = _einsum("...km,...k->...m", cands, onehot)
+            resid_k = rhs[..., None, :] - _einsum("...n,knm->...km", x1, kkt_t)
+            corr_k = _einsum("...kn,knm->...km", resid_k, kinv_t)
+            return x1 + _einsum("...km,...k->...m", corr_k, onehot)
 
         def body(carry, _):
             x, z, y = carry
             rhs = sigma * x - q + _einsum("...m,mn->...n", rho_lane * z - y, A)
-            flat = rhs.reshape((-1, n)).T                      # (n, B)
-            # K solves against all lanes (internal matmuls forced to f32 —
-            # TPU's bf16 default stalls ADMM), then per-lane level select.
-            with jax.default_matmul_precision("float32"):
-                sols = jax.vmap(
-                    lambda ch: jax.scipy.linalg.cho_solve((ch, True), flat)
-                )(chols)                                       # (K, n, B)
-            sols = jnp.moveaxis(sols, -1, 1).reshape((LEVELS,) + rhs.shape)
-            x_tilde = jnp.take_along_axis(
-                sols, level[None, ..., None], axis=0
-            )[0]
+            x_tilde = solve_kkt(rhs)
             x_next = alpha * x_tilde + (1 - alpha) * x
             Ax_tilde = _einsum("...n,mn->...m", x_tilde, A)
             z_relaxed = alpha * Ax_tilde + (1 - alpha) * z

@@ -172,4 +172,8 @@ def make_fleet_step(
         in_specs=(state_spec, P(data_axis, model_axis), P(), P(), P(), P()),
         out_specs=(state_spec, result_spec),
     )
-    return jax.jit(sharded)
+    stepped = jax.jit(sharded)
+    # expose the un-jitted sharded tick so callers can lax.scan many ticks
+    # inside ONE jit (single dispatch — the production/bench loop shape)
+    stepped.sharded_fn = sharded
+    return stepped
