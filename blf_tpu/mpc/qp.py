@@ -261,6 +261,8 @@ def solve_qp_shared(
     x0: Optional[jnp.ndarray] = None,
     y0: Optional[jnp.ndarray] = None,
     unroll: int = 1,
+    backend: str = "xla",
+    refine: bool = True,
 ) -> QPSolution:
     """ADMM for a scenario fleet sharing ONE (P, A) with per-lane (q, l, u).
 
@@ -348,11 +350,29 @@ def solve_qp_shared(
         lambda ch: jax.scipy.linalg.cho_solve((ch, True), eye_n)
     )(chols)                                                   # (K, n, n)
 
+    use_pallas = (
+        backend == "pallas"
+        and q.ndim == 1
+        and len(batch) == 1
+        and batch[0] % 256 == 0
+    )
+
     def run_stage(x, z, y, level):
         rho_lane = level_scales[level][..., None] * base_rho   # (batch, m)
         # one-hot level select folded into the K-stacked GEMMs (a
         # take_along_axis gather here cost ~20% of device time)
         onehot = jax.nn.one_hot(level, LEVELS, dtype=dtype)    # (batch, K)
+
+        if use_pallas:
+            from blf_tpu.ops.pallas.admm import admm_stage
+
+            return admm_stage(
+                x, z, y, onehot, rho_lane,
+                jnp.broadcast_to(l, batch + (m,)),
+                jnp.broadcast_to(u, batch + (m,)),
+                q, A, kinvs, kkts,
+                iters=check_every, sigma=sigma, alpha=alpha, refine=refine,
+            )
 
         kinv_t = jnp.swapaxes(kinvs, -1, -2)
         kkt_t = jnp.swapaxes(kkts, -1, -2)
@@ -360,6 +380,8 @@ def solve_qp_shared(
         def solve_kkt(rhs):
             cands = _einsum("...n,knm->...km", rhs, kinv_t)       # K GEMMs
             x1 = _einsum("...km,...k->...m", cands, onehot)
+            if not refine:
+                return x1
             resid_k = rhs[..., None, :] - _einsum("...n,knm->...km", x1, kkt_t)
             corr_k = _einsum("...kn,knm->...km", resid_k, kinv_t)
             return x1 + _einsum("...km,...k->...m", corr_k, onehot)
