@@ -1,0 +1,128 @@
+"""LQR tests: sequential vs parallel-in-time equivalence + optimality."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blf_tpu.mpc.riccati import solve_lqr
+
+RNG = np.random.default_rng(0)
+
+
+def random_lqr(T=24, nx=4, nu=2, rng=RNG):
+    Fs = jnp.asarray(
+        np.stack([np.eye(nx) + 0.05 * rng.normal(size=(nx, nx))
+                  for _ in range(T)])
+    )
+    cs = jnp.asarray(rng.normal(size=(T, nx)) * 0.1)
+    Ls = jnp.asarray(rng.normal(size=(T, nx, nu)) * 0.3)
+    Qs = jnp.asarray(
+        np.stack([np.eye(nx) * rng.uniform(0.5, 2.0) for _ in range(T)])
+    )
+    Rs = jnp.asarray(
+        np.stack([np.eye(nu) * rng.uniform(0.1, 1.0) for _ in range(T)])
+    )
+    QT = jnp.asarray(np.eye(nx) * 5.0)
+    x0 = jnp.asarray(rng.normal(size=nx))
+    return Fs, cs, Ls, Qs, Rs, QT, x0
+
+
+def lqr_cost(Qs, Rs, QT, xs, us):
+    run = sum(
+        0.5 * xs[k] @ Qs[k] @ xs[k] + 0.5 * us[k] @ Rs[k] @ us[k]
+        for k in range(len(us))
+    )
+    return float(run + 0.5 * xs[-1] @ QT @ xs[-1])
+
+
+class TestSequential:
+    def test_optimality_vs_perturbations(self):
+        """The returned controls must beat random perturbations (local optimum
+        check of the full trajectory cost)."""
+        prob = random_lqr()
+        sol = solve_lqr(*prob)
+        base = lqr_cost(prob[3], prob[4], prob[5], sol.states, sol.controls)
+        Fs, cs, Ls = prob[0], prob[1], prob[2]
+        rng = np.random.default_rng(1)
+        for _ in range(5):
+            du = jnp.asarray(rng.normal(size=sol.controls.shape) * 1e-2)
+            us = sol.controls + du
+            x = prob[6]
+            xs = [x]
+            for k in range(len(us)):
+                x = Fs[k] @ x + Ls[k] @ us[k] + cs[k]
+                xs.append(x)
+            pert = lqr_cost(prob[3], prob[4], prob[5], jnp.stack(xs), us)
+            assert pert >= base - 1e-9
+
+    def test_matches_condensed_least_squares(self):
+        """Against an independent dense solve of the same quadratic program."""
+        T, nx, nu = 8, 3, 2
+        prob = random_lqr(T, nx, nu, np.random.default_rng(2))
+        Fs, cs, Ls, Qs, Rs, QT, x0 = map(np.asarray, prob)
+        sol = solve_lqr(*prob)
+
+        # dense QP in u = vec(u_0..u_{T-1}); x = Phi x0 + G u + d
+        nU = T * nu
+        G = np.zeros(((T + 1) * nx, nU))
+        d = np.zeros((T + 1) * nx)
+        Phi = np.zeros(((T + 1) * nx, nx))
+        Phi[:nx] = np.eye(nx)
+        xblk = np.eye(nx)
+        for k in range(T):
+            Phi[(k + 1) * nx:(k + 2) * nx] = Fs[k] @ Phi[k * nx:(k + 1) * nx]
+            d[(k + 1) * nx:(k + 2) * nx] = Fs[k] @ d[k * nx:(k + 1) * nx] + cs[k]
+            for j in range(k + 1):
+                blk = np.eye(nx)
+                for i in range(k, j, -1):
+                    blk = blk @ Fs[i]
+                G[(k + 1) * nx:(k + 2) * nx, j * nu:(j + 1) * nu] = blk @ Ls[j]
+        Qbig = np.zeros(((T + 1) * nx, (T + 1) * nx))
+        for k in range(T):
+            Qbig[k * nx:(k + 1) * nx, k * nx:(k + 1) * nx] = Qs[k]
+        Qbig[T * nx:, T * nx:] = QT
+        Rbig = np.kron(np.eye(T), np.zeros((nu, nu)))
+        for k in range(T):
+            Rbig[k * nu:(k + 1) * nu, k * nu:(k + 1) * nu] = Rs[k]
+        xb = Phi @ x0 + d
+        H = G.T @ Qbig @ G + Rbig
+        g = G.T @ Qbig @ xb
+        u_ref = np.linalg.solve(H, -g)
+        np.testing.assert_allclose(
+            np.asarray(sol.controls).ravel(), u_ref, atol=1e-8
+        )
+
+
+class TestParallel:
+    @pytest.mark.parametrize("T", [4, 17, 64])
+    def test_matches_sequential(self, T):
+        prob = random_lqr(T, 4, 2, np.random.default_rng(T))
+        seq = solve_lqr(*prob, parallel=False)
+        par = solve_lqr(*prob, parallel=True)
+        np.testing.assert_allclose(
+            np.asarray(par.value_matrices), np.asarray(seq.value_matrices),
+            atol=1e-8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(par.value_vectors), np.asarray(seq.value_vectors),
+            atol=1e-8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(par.gains), np.asarray(seq.gains), atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(par.controls), np.asarray(seq.controls), atol=1e-8
+        )
+
+    def test_jit_and_vmap(self):
+        prob = random_lqr(16, 4, 2, np.random.default_rng(9))
+        x0s = jnp.asarray(np.random.default_rng(3).normal(size=(8, 4)))
+        sols = jax.jit(jax.vmap(
+            lambda x0: solve_lqr(*prob[:-1], x0, parallel=True)
+        ))(x0s)
+        assert sols.controls.shape == (8, 16, 2)
+        solo = solve_lqr(*prob[:-1], x0s[5], parallel=True)
+        np.testing.assert_allclose(
+            np.asarray(sols.controls[5]), np.asarray(solo.controls), atol=1e-10
+        )
