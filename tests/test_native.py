@@ -73,13 +73,24 @@ class TestScheduleLowering:
     def test_throughput_wins_over_python(self):
         rng = np.random.default_rng(2)
         act, deact, cnt, pos, _ = random_schedules(rng, B=512)
-        t0 = time.perf_counter()
+        # Warm up both paths (first native call pays dlopen + page-in costs),
+        # then take best-of-3 to shrug off scheduler noise.
         native.lower_schedules_batch(act, deact, cnt, pos, 100, 0.05)
-        t_native = time.perf_counter() - t0
-        t0 = time.perf_counter()
         native.lower_schedules_batch(act, deact, cnt, pos, 100, 0.05,
                                      force_python=True)
-        t_python = time.perf_counter() - t0
+
+        def best_of(fn, n=3):
+            best = float("inf")
+            for _ in range(n):
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_native = best_of(lambda: native.lower_schedules_batch(
+            act, deact, cnt, pos, 100, 0.05))
+        t_python = best_of(lambda: native.lower_schedules_batch(
+            act, deact, cnt, pos, 100, 0.05, force_python=True))
         assert t_native < t_python  # typically 10-100x
 
     def test_python_fallback_always_works(self):
