@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 
 from blf_tpu.models.lipm import LIPMParams, com_trajectory_from_dcm, lipm_omega
-from blf_tpu.mpc.qp import QPSolution, solve_qp, solve_qp_shared
+from blf_tpu.mpc.qp import (QPSolution, factor_shared_qp, solve_qp,
+                            solve_qp_factored, solve_qp_shared)
 
 __all__ = ["DCMWeights", "DCMPlan", "build_dcm_qp", "solve_dcm_mpc"]
 
@@ -197,9 +198,23 @@ def solve_dcm_mpc(
             [xi_seq[..., 0], xi_seq[..., 1],
              warm_start[..., 0], warm_start[..., 1]], axis=-1
         )
-    solver = solve_qp_shared if shared else solve_qp
-    sol = solver(P, q, A, l, u, iterations=iterations, x0=x0,
-                 y0=warm_start_dual, **qp_kwargs)
+    if shared:
+        # structural equality mask (first 2N rows are dynamics equalities) —
+        # constant by construction, so the factorization depends only on
+        # tick-invariant data and XLA hoists it out of receding-horizon
+        # scan loops (the per-tick solve then starts at the ADMM iterations)
+        is_eq = jnp.arange(A.shape[-2]) < 2 * N
+        factors = factor_shared_qp(
+            P, A, is_eq,
+            **{k: qp_kwargs.pop(k) for k in
+               ("rho", "sigma", "rho_eq_scale", "scaling_iters")
+               if k in qp_kwargs},
+        )
+        sol = solve_qp_factored(factors, q, l, u, iterations=iterations,
+                                x0=x0, y0=warm_start_dual, **qp_kwargs)
+    else:
+        sol = solve_qp(P, q, A, l, u, iterations=iterations, x0=x0,
+                       y0=warm_start_dual, **qp_kwargs)
     zmp = jnp.stack(
         [sol.x[..., 2 * N : 3 * N], sol.x[..., 3 * N :]], axis=-1
     )  # (…, N, 2)

@@ -28,7 +28,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["QPSolution", "solve_qp", "solve_qp_shared"]
+__all__ = ["QPSolution", "SharedQPFactors", "solve_qp",
+           "solve_qp_shared", "factor_shared_qp", "solve_qp_factored"]
 
 # TPU MXU defaults to bf16-accumulated matmuls for f32 inputs, which floors
 # ADMM residuals around 1e-3; all solver contractions force full f32 passes.
@@ -67,6 +68,7 @@ class QPSolution(NamedTuple):
     dual_residual: jnp.ndarray    # (…,) ‖Px + q + Aᵀy‖∞
     converged: jnp.ndarray        # (…,) bool
     objective: jnp.ndarray        # (…,) ½xᵀPx + qᵀx
+    rho_scale: jnp.ndarray = None  # (…, 1) adapted per-lane ρ multiplier s
 
 
 @_f32_matmuls
@@ -260,39 +262,99 @@ def solve_qp_shared(
     check_every: int = 25,
     x0: Optional[jnp.ndarray] = None,
     y0: Optional[jnp.ndarray] = None,
+    s0: Optional[jnp.ndarray] = None,
     unroll: int = 1,
     backend: str = "xla",
-    refine: bool = True,
+    refine: bool = False,
 ) -> QPSolution:
     """ADMM for a scenario fleet sharing ONE (P, A) with per-lane (q, l, u).
 
-    The throughput path of the framework (SURVEY.md §2.3 "scenario batching"):
-    when every lane solves the same transcription (same horizon, same
-    polygons) with different initial states/references, the KKT matrix is
-    factored ONCE per stage and every per-iteration product becomes a dense
-    ``(B, ·) × (·, ·)`` GEMM on the MXU — instead of B independent tiny
-    factorizations and matvecs. ~order-of-magnitude faster than
-    :func:`solve_qp` at large B; bit-compatible semantics except that Ruiz
-    cost-normalisation and adaptive ρ use fleet-averaged statistics (the
-    matrices must stay shared).
+    The throughput path of the framework (SURVEY.md §2.3 "scenario
+    batching"): when every lane solves the same transcription (same horizon,
+    same polygons) with different initial states/references, the KKT system
+    is factored ONCE and every per-iteration product becomes a dense
+    ``(B, ·) × (·, ·)`` GEMM on the MXU. Convenience wrapper around
+    :func:`factor_shared_qp` + :func:`solve_qp_factored` — hoist the
+    factorization yourself when (P, A) survive across control ticks.
 
     Shapes: ``P`` (n, n), ``A`` (m, n) — strictly unbatched; ``q`` (…, n),
     ``l``/``u`` (…, m) carry the batch.
     """
-    P, q, A = jnp.asarray(P), jnp.asarray(q), jnp.asarray(A)
-    l, u = jnp.asarray(l), jnp.asarray(u)
+    l = jnp.asarray(l)
+    u = jnp.asarray(u)
+    m = jnp.asarray(A).shape[-2]
+    # equality pattern must be lane-independent for a shared factorization: a
+    # row is stiff iff it is an equality in EVERY lane (true for MPC
+    # transcriptions, where the equality/inequality split is structural).
+    is_eq = jnp.all(((u - l) < 1e-12).reshape((-1, m)), axis=0)
+    factors = factor_shared_qp(
+        P, A, is_eq, rho=rho, sigma=sigma, rho_eq_scale=rho_eq_scale,
+        scaling_iters=scaling_iters,
+    )
+    return solve_qp_factored(
+        factors, q, l, u, iterations=iterations, alpha=alpha,
+        eps_abs=eps_abs, eps_rel=eps_rel, check_every=check_every,
+        x0=x0, y0=y0, s0=s0, unroll=unroll, backend=backend, refine=refine,
+    )
+
+
+class SharedQPFactors(NamedTuple):
+    """One-time spectral factorization of a fleet-shared QP (P, A).
+
+    The per-lane adaptive penalty is a *scalar multiplier* ``s`` on the
+    structural ρ vector: ``K(s) = P̄ + σI + s·ĀᵀρĀ``. Writing
+    ``P̄ + σI = LLᵀ`` and eigendecomposing the pencil
+    ``L⁻¹(ĀᵀρĀ)L⁻ᵀ = U diag(d) Uᵀ`` gives, with ``W = L⁻ᵀU``,
+
+        ``K(s)⁻¹ = W diag(1/(1 + s·d)) Wᵀ``  for EVERY ``s`` at once —
+
+    continuous per-lane ρ adaptation at shared-factorization cost: the
+    per-iteration solve is two ``(B, n) × (n, n)`` GEMMs and a VPU scale (the
+    TPU-native replacement for per-lane refactorization, which no batched
+    solver can afford, and for the discrete ρ-ladder this design supersedes).
+    All members are in the Ruiz-equilibrated frame.
+    """
+
+    P_s: jnp.ndarray        # (n, n) scaled cost matrix (γ·DPD)
+    A_s: jnp.ndarray        # (m, n) scaled constraints (EAD)
+    R2: jnp.ndarray         # (n, n) Ā ᵀ diag(ρ) Ā
+    W: jnp.ndarray          # (n, n) spectral basis L⁻ᵀU
+    d: jnp.ndarray          # (n,) pencil eigenvalues (≥ 0)
+    base_rho: jnp.ndarray   # (m,) structural ρ (stiff on equality rows)
+    D: jnp.ndarray          # (n,) Ruiz column scaling
+    E: jnp.ndarray          # (m,) Ruiz row scaling
+    c: jnp.ndarray          # scalar cost normalization γ
+    sigma: jnp.ndarray      # scalar ADMM σ
+    P_orig: jnp.ndarray     # (n, n) unscaled, for diagnostics
+    A_orig: jnp.ndarray     # (m, n) unscaled
+
+
+@_f32_matmuls
+def factor_shared_qp(
+    P: jnp.ndarray,
+    A: jnp.ndarray,
+    is_eq: jnp.ndarray,
+    *,
+    rho: float = 1.0,
+    sigma: float = 1e-6,
+    rho_eq_scale: float = 1e3,
+    scaling_iters: int = 10,
+) -> SharedQPFactors:
+    """Ruiz-equilibrate and spectrally factor a shared (P, A) pair.
+
+    Depends ONLY on (P, A, is_eq) — deliberately not on q/l/u — so inside a
+    ``lax.scan`` over control ticks XLA hoists the whole factorization
+    (Cholesky + eigh included) out of the loop.
+    """
+    P, A = jnp.asarray(P), jnp.asarray(A)
     if P.ndim != 2 or A.ndim != 2:
-        raise ValueError("solve_qp_shared requires unbatched P and A")
+        raise ValueError("factor_shared_qp requires unbatched P and A")
     n, m = P.shape[-1], A.shape[-2]
     dtype = P.dtype
-    batch = jnp.broadcast_shapes(q.shape[:-1], l.shape[:-1], u.shape[:-1])
-    breduce = tuple(range(len(batch)))
+    P_orig, A_orig = P, A
 
-    # -- Ruiz equilibration on the shared matrices ---------------------------
-    P_orig, q_orig, A_orig = P, q, A
     D = jnp.ones((n,), dtype=dtype)
     E = jnp.ones((m,), dtype=dtype)
-    c = jnp.ones((), dtype=dtype)
     for _ in range(scaling_iters):
         col_norm = jnp.maximum(jnp.max(jnp.abs(P), axis=0),
                                jnp.max(jnp.abs(A), axis=0))
@@ -301,99 +363,137 @@ def solve_qp_shared(
         de = 1.0 / jnp.sqrt(jnp.where(row_norm > 1e-12, row_norm, 1.0))
         P = dx[:, None] * P * dx[None, :]
         A = de[:, None] * A * dx[None, :]
-        q = q * dx
         D, E = D * dx, E * de
-        # fleet-mean cost normalisation (scalar: keeps P shared)
-        p_cols = jnp.mean(jnp.max(jnp.abs(P), axis=0))
-        q_inf = jnp.mean(jnp.max(jnp.abs(q), axis=-1))
-        gamma = 1.0 / jnp.maximum(jnp.maximum(p_cols, q_inf), 1e-12)
-        P, q, c = gamma * P, gamma * q, c * gamma
-    l, u = E * l, E * u
-    if x0 is not None:
-        x0 = x0 / D
-    if y0 is not None:
-        y0 = c * y0 / E
+    # cost normalization from P alone (NOT q: keeps the factorization
+    # tick-invariant; the per-lane adaptive s absorbs the difference)
+    p_cols = jnp.mean(jnp.max(jnp.abs(P), axis=0))
+    c = 1.0 / jnp.maximum(p_cols, 1e-12)
+    P = c * P
 
-    is_eq = (u - l) < 1e-12
-    # equality pattern must be lane-independent for a shared KKT: a row is
-    # stiff iff it is an equality in EVERY lane (true for MPC transcriptions,
-    # where the split equality/inequality is structural).
-    is_eq_shared = jnp.all(is_eq.reshape((-1, m)), axis=0)
-    base_rho = jnp.where(is_eq_shared, rho * rho_eq_scale, rho).astype(dtype)
+    base_rho = jnp.where(is_eq, rho * rho_eq_scale, rho).astype(dtype)
+    R2 = _einsum("mi,m,mj->ij", A, base_rho, A)
+    P_sig = P + sigma * jnp.eye(n, dtype=dtype)
+    L = jnp.linalg.cholesky(P_sig)
+    Linv = jax.scipy.linalg.solve_triangular(
+        L, jnp.eye(n, dtype=dtype), lower=True
+    )
+    M = Linv @ R2 @ Linv.T
+    M = 0.5 * (M + M.T)
+    d, U = jnp.linalg.eigh(M)
+    d = jnp.maximum(d, 0.0)
+    W = Linv.T @ U
+    return SharedQPFactors(
+        P_s=P, A_s=A, R2=R2, W=W, d=d, base_rho=base_rho, D=D, E=E,
+        c=jnp.asarray(c, dtype), sigma=jnp.asarray(sigma, dtype),
+        P_orig=P_orig, A_orig=A_orig,
+    )
+
+
+@_f32_matmuls
+def solve_qp_factored(
+    factors: SharedQPFactors,
+    q: jnp.ndarray,
+    l: jnp.ndarray,
+    u: jnp.ndarray,
+    *,
+    iterations: int = 200,
+    alpha: float = 1.6,
+    eps_abs: float = 1e-5,
+    eps_rel: float = 1e-5,
+    check_every: int = 25,
+    x0: Optional[jnp.ndarray] = None,
+    y0: Optional[jnp.ndarray] = None,
+    s0: Optional[jnp.ndarray] = None,
+    unroll: int = 1,
+    backend: str = "xla",
+    refine: bool = False,
+    s_min: float = 1e-4,
+    s_max: float = 1e4,
+) -> QPSolution:
+    """Solve a fleet of QPs against a prebuilt :class:`SharedQPFactors`.
+
+    Per-lane continuous adaptive ρ: each lane carries a scalar ``s`` moved
+    every ``check_every`` iterations by its own primal/dual residual ratio
+    (OSQP rule with ×5 hysteresis); the spectral form evaluates every lane's
+    ``K(s)⁻¹`` exactly with two shared GEMMs. ``backend="pallas"`` fuses each
+    stage into a VMEM-resident TPU kernel (``"pallas_f32"`` for 6-pass f32
+    matmuls instead of 3-pass split-f32).
+    """
+    f = factors
+    n, m = f.P_s.shape[-1], f.A_s.shape[-2]
+    dtype = f.P_s.dtype
+    q = jnp.asarray(q)
+    l, u = jnp.asarray(l), jnp.asarray(u)
+    q_orig = q
+    batch = jnp.broadcast_shapes(q.shape[:-1], l.shape[:-1], u.shape[:-1])
+
+    A, P = f.A_s, f.P_s
+    sigma = f.sigma
+    q = f.c * (q * f.D)
+    l, u = f.E * l, f.E * u
+    if x0 is not None:
+        x0 = x0 / f.D
+    if y0 is not None:
+        y0 = f.c * y0 / f.E
 
     x = jnp.broadcast_to(q * 0 if x0 is None else x0 + q * 0, batch + (n,))
     z = _einsum("mn,...n->...m", A, x)
     z = jnp.broadcast_to(z, batch + (m,))
     y = jnp.broadcast_to(z * 0 if y0 is None else y0 + z * 0, batch + (m,))
-
-    # -- discrete per-lane ρ ladder ------------------------------------------
-    # Per-lane adaptive ρ normally forces per-lane factorizations; instead ρ
-    # is restricted to a small geometric ladder ρ·5^{k−2}, k = 0..4. The K
-    # KKT matrices are factored ONCE (they never change), every iteration
-    # solves all K against the stacked right-hand sides (still GEMM-shaped,
-    # K× a cheap trsm), and each lane selects its level's solution. Lanes
-    # move up/down the ladder from their own residual ratio — true per-lane
-    # adaptation at shared-factorization cost.
-    LEVELS = 5
-    level_scales = jnp.asarray(
-        [5.0 ** (k - LEVELS // 2) for k in range(LEVELS)], dtype
+    # warm ρ state: receding-horizon callers thread the adapted per-lane s
+    # from the previous tick (QPSolution.rho_scale) to skip re-adaptation
+    s = jnp.broadcast_to(
+        jnp.ones((1,), dtype) if s0 is None else jnp.asarray(s0, dtype),
+        batch + (1,),
     )
-    eye_n = jnp.eye(n, dtype=dtype)
-    kkts = jnp.stack([
-        P + sigma * eye_n + (A.T * (base_rho * s)) @ A for s in level_scales
-    ])                                                        # (K, n, n)
-    chols = jnp.linalg.cholesky(kkts)
-    # Explicit inverses turn the per-iteration solve into pure GEMMs (the
-    # trsm was 64% of device time); one iterative-refinement pass restores
-    # the accuracy an f32 inverse loses (bias ~(cond·eps)² ≈ 1e-9).
-    kinvs = jax.vmap(
-        lambda ch: jax.scipy.linalg.cho_solve((ch, True), eye_n)
-    )(chols)                                                   # (K, n, n)
+    # merge the batch operands' varying mesh axes into the carry init so the
+    # stage scan type-checks under shard_map (vma typing)
+    s = s + 0.0 * (x[..., :1] + z[..., :1] + y[..., :1])
+
+    lb = jnp.broadcast_to(l, batch + (m,))
+    ub = jnp.broadcast_to(u, batch + (m,))
+    qb = jnp.broadcast_to(q, batch + (n,))
 
     use_pallas = (
-        backend == "pallas"
-        and q.ndim == 1
+        backend in ("pallas", "pallas_f32")
         and len(batch) == 1
         and batch[0] % 256 == 0
     )
 
-    def run_stage(x, z, y, level):
-        rho_lane = level_scales[level][..., None] * base_rho   # (batch, m)
-        # one-hot level select folded into the K-stacked GEMMs (a
-        # take_along_axis gather here cost ~20% of device time)
-        onehot = jax.nn.one_hot(level, LEVELS, dtype=dtype)    # (batch, K)
+    def spectral_solve(rhs, s):
+        dinv = 1.0 / (1.0 + s * f.d)          # (batch, n) spectral gains
+        t = _einsum("...n,nk->...k", rhs, f.W) * dinv
+        x1 = _einsum("...k,nk->...n", t, f.W)
+        if not refine:
+            return x1
+        Kx = (_einsum("...n,nk->...k", x1, P) + sigma * x1
+              + s * _einsum("...n,nk->...k", x1, f.R2))
+        resid = rhs - Kx
+        t = _einsum("...n,nk->...k", resid, f.W) * dinv
+        return x1 + _einsum("...k,nk->...n", t, f.W)
+
+    def run_stage(x, z, y, s):
+        rho_lane = s * f.base_rho                          # (batch, m)
 
         if use_pallas:
             from blf_tpu.ops.pallas.admm import admm_stage
 
             return admm_stage(
-                x, z, y, onehot, rho_lane,
-                jnp.broadcast_to(l, batch + (m,)),
-                jnp.broadcast_to(u, batch + (m,)),
-                q, A, kinvs, kkts,
-                iters=check_every, sigma=sigma, alpha=alpha, refine=refine,
+                x, z, y, s, qb, lb, ub,
+                A, f.W, f.d, f.base_rho,
+                iters=check_every, sigma=float(sigma), alpha=alpha,
+                refine=refine,
+                matmul=("f32" if backend == "pallas_f32" else "split"),
             )
-
-        kinv_t = jnp.swapaxes(kinvs, -1, -2)
-        kkt_t = jnp.swapaxes(kkts, -1, -2)
-
-        def solve_kkt(rhs):
-            cands = _einsum("...n,knm->...km", rhs, kinv_t)       # K GEMMs
-            x1 = _einsum("...km,...k->...m", cands, onehot)
-            if not refine:
-                return x1
-            resid_k = rhs[..., None, :] - _einsum("...n,knm->...km", x1, kkt_t)
-            corr_k = _einsum("...kn,knm->...km", resid_k, kinv_t)
-            return x1 + _einsum("...km,...k->...m", corr_k, onehot)
 
         def body(carry, _):
             x, z, y = carry
-            rhs = sigma * x - q + _einsum("...m,mn->...n", rho_lane * z - y, A)
-            x_tilde = solve_kkt(rhs)
+            rhs = sigma * x - qb + _einsum("...m,mn->...n", rho_lane * z - y, A)
+            x_tilde = spectral_solve(rhs, s)
             x_next = alpha * x_tilde + (1 - alpha) * x
             Ax_tilde = _einsum("...n,mn->...m", x_tilde, A)
             z_relaxed = alpha * Ax_tilde + (1 - alpha) * z
-            z_next = jnp.clip(z_relaxed + y / rho_lane, l, u)
+            z_next = jnp.clip(z_relaxed + y / rho_lane, lb, ub)
             y_next = y + rho_lane * (z_relaxed - z_next)
             return (x_next, z_next, y_next), None
 
@@ -406,40 +506,39 @@ def solve_qp_shared(
     n_stages = max(1, -(-iterations // check_every))
 
     def stage(carry, _):
-        x, z, y, level = carry
-        x, z, y = run_stage(x, z, y, level)
+        x, z, y, s = carry
+        x, z, y = run_stage(x, z, y, s)
         Ax = _einsum("...n,mn->...m", x, A)
         Px_ = _einsum("...m,nm->...n", x, P)
         Aty_ = _einsum("...m,nm->...n", y, A.T)
         rp = jnp.max(jnp.abs(Ax - z), axis=-1) / jnp.maximum(
-            jnp.maximum(jnp.max(jnp.abs(Ax), -1), jnp.max(jnp.abs(z), -1)), 1e-12
+            jnp.maximum(jnp.max(jnp.abs(Ax), -1), jnp.max(jnp.abs(z), -1)),
+            1e-12,
         )
-        rd = jnp.max(jnp.abs(Px_ + q + Aty_), axis=-1) / jnp.maximum(
+        rd = jnp.max(jnp.abs(Px_ + qb + Aty_), axis=-1) / jnp.maximum(
             jnp.maximum(jnp.max(jnp.abs(Px_), -1),
                         jnp.maximum(jnp.max(jnp.abs(Aty_), -1),
-                                    jnp.max(jnp.abs(q), -1))), 1e-12
+                                    jnp.max(jnp.abs(qb), -1))), 1e-12
         )
-        # per-lane ladder move: up if primal dominates, down if dual does
-        ratio = jnp.sqrt(rp / jnp.maximum(rd, 1e-12))
-        move = jnp.where(ratio > 5.0, 1, jnp.where(ratio < 0.2, -1, 0))
-        level = jnp.clip(level + move, 0, LEVELS - 1)
-        return (x, z, y, level), None
+        # OSQP per-lane ρ rule with hysteresis: move by the residual ratio
+        # only when it leaves [1/5, 5] (continuous s — no ladder quantization)
+        ratio = jnp.sqrt(rp / jnp.maximum(rd, 1e-12))[..., None]
+        move = (ratio > 5.0) | (ratio < 0.2)
+        s = jnp.where(move, jnp.clip(s * ratio, s_min, s_max), s)
+        return (x, z, y, s), None
 
-    level0 = jnp.full(batch, LEVELS // 2, dtype=jnp.int32) + (
-        jnp.max(x, axis=-1) * 0
-    ).astype(jnp.int32)
-    (x, z, y, _), _ = jax.lax.scan(
-        stage, (x, z, y, level0), None, length=n_stages
+    (x, z, y, s), _ = jax.lax.scan(
+        stage, (x, z, y, s), None, length=n_stages
     )
 
     # -- unscale + diagnostics in the original problem -----------------------
-    x = D * x
-    y = E * y / c
-    z = z / E
-    Ax = _einsum("...n,mn->...m", x, A_orig)
+    x = f.D * x
+    y = f.E * y / f.c
+    z = z / f.E
+    Ax = _einsum("...n,mn->...m", x, f.A_orig)
     r_prim = jnp.max(jnp.abs(Ax - z), axis=-1)
-    Px = _einsum("...m,nm->...n", x, P_orig)
-    Aty = _einsum("...m,mn->...n", y, A_orig)
+    Px = _einsum("...m,nm->...n", x, f.P_orig)
+    Aty = _einsum("...m,mn->...n", y, f.A_orig)
     r_dual = jnp.max(jnp.abs(Px + q_orig + Aty), axis=-1)
     prim_tol = eps_abs + eps_rel * jnp.maximum(
         jnp.max(jnp.abs(Ax), axis=-1), jnp.max(jnp.abs(z), axis=-1)
@@ -450,4 +549,5 @@ def solve_qp_shared(
     )
     converged = (r_prim < prim_tol) & (r_dual < dual_tol)
     objective = 0.5 * jnp.sum(x * Px, axis=-1) + jnp.sum(q_orig * x, axis=-1)
-    return QPSolution(x, y, z, r_prim, r_dual, converged, objective)
+    return QPSolution(x, y, z, r_prim, r_dual, converged, objective,
+                      rho_scale=s)

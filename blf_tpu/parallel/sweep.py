@@ -45,6 +45,7 @@ class FleetState(NamedTuple):
     warm_y: jnp.ndarray     # (B, M) previous duals
     offset_theta: jnp.ndarray  # (B, 2) RLS estimate of the ZMP disturbance offset
     offset_cov: jnp.ndarray    # (B, 2, 2)
+    warm_s: jnp.ndarray        # (B, 1) adapted per-lane ADMM ρ multiplier
 
 
 class TickResult(NamedTuple):
@@ -65,6 +66,7 @@ def init_fleet(batch: int, horizon: int, num_constraints: int, dcm0, com0,
         warm_y=jnp.zeros((batch, num_constraints), dtype),
         offset_theta=jnp.zeros((batch, 2), dtype),
         offset_cov=jnp.broadcast_to(jnp.eye(2, dtype=dtype), (batch, 2, 2)) * 10.0,
+        warm_s=jnp.ones((batch, 1), dtype),
     )
 
 
@@ -105,7 +107,7 @@ def make_fleet_step(
             params, dt, dcm0, state.com, dcm_ref, zmp_ref, poly_A, poly_b,
             weights, iterations=iterations,
             warm_start=state.warm_zmp, warm_start_dual=state.warm_y,
-            shared=True,
+            s0=state.warm_s, shared=True,
         )
 
         # collective QP reduce over the whole fleet: sum/max over the data
@@ -128,6 +130,7 @@ def make_fleet_step(
         # consensus plan: certainty-equivalent average over the ensemble
         zmp_consensus = jax.lax.pmean(plans.zmp, model_axis)
         y_consensus = jax.lax.pmean(plans.qp.y, model_axis)
+        s_consensus = jax.lax.pmean(plans.qp.rho_scale, model_axis)
 
         # advance the TRUE scenario state one knot under the consensus plan
         # and the fleet's actual push realization
@@ -154,12 +157,14 @@ def make_fleet_step(
             warm_y=y_consensus,
             offset_theta=est.theta,
             offset_cov=est.covariance,
+            warm_s=s_consensus,
         )
         return new_state, TickResult(stats, worst, z0)
 
     state_spec = FleetState(
         dcm=P(data_axis), com=P(data_axis), warm_zmp=P(data_axis),
         warm_y=P(data_axis), offset_theta=P(data_axis), offset_cov=P(data_axis),
+        warm_s=P(data_axis),
     )
     result_spec = TickResult(
         stats=FleetStats(P(), P(), P(), P(), P()),

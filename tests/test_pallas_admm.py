@@ -1,4 +1,10 @@
-"""Pallas fused-ADMM-stage kernel tests (interpret mode on CPU)."""
+"""Pallas fused-ADMM-stage kernel tests (interpret mode on CPU).
+
+The kernel implements the spectral per-lane-ρ stage of
+``solve_qp_factored``; ``pallas_f32`` must reproduce the XLA stage math
+exactly (same op order, same precision), while the default ``pallas``
+(split-f32 3-pass matmuls) is held to solution-quality parity.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -7,7 +13,7 @@ import pytest
 
 from blf_tpu.models.lipm import LIPMParams
 from blf_tpu.mpc.dcm import build_dcm_qp
-from blf_tpu.mpc.qp import solve_qp_shared
+from blf_tpu.mpc.qp import factor_shared_qp, solve_qp_factored, solve_qp_shared
 
 N = 16
 DTYPE = jnp.float32
@@ -29,22 +35,32 @@ def fleet_problem(B=256):
 
 
 class TestPallasBackend:
-    def test_matches_xla_backend(self):
-        """The fused kernel must reproduce the XLA stage math exactly
-        (interpret mode is bit-identical; on TPU the orders differ by ~1e-6)."""
+    def test_f32_mode_matches_xla_backend(self):
+        """6-pass f32 kernel must reproduce the XLA stage math exactly
+        (interpret mode is bit-identical; on TPU the orders differ ~1e-6)."""
         P, q, A, l, u = fleet_problem()
         sx = solve_qp_shared(P, q, A, l, u, iterations=100)
-        sp = solve_qp_shared(P, q, A, l, u, iterations=100, backend="pallas")
+        sp = solve_qp_shared(P, q, A, l, u, iterations=100,
+                             backend="pallas_f32")
         tol = 0.0 if jax.default_backend() == "cpu" else 1e-5
         np.testing.assert_allclose(np.asarray(sp.x), np.asarray(sx.x), atol=tol)
         assert int(sp.converged.sum()) == int(sx.converged.sum())
 
-    def test_norefine_flag_plumbs_through(self):
-        P, q, A, l, u = fleet_problem(B=256)
-        s1 = solve_qp_shared(P, q, A, l, u, iterations=50, backend="pallas",
-                             refine=False)
-        s2 = solve_qp_shared(P, q, A, l, u, iterations=50, refine=False)
-        np.testing.assert_allclose(np.asarray(s1.x), np.asarray(s2.x), atol=1e-7)
+    def test_split_mode_solution_quality(self):
+        """3-pass split-f32 is a LOOSE-tolerance mode: its ~2⁻¹⁷ product
+        noise floors residuals near 1e-5, so it is held to the 1e-4 contract
+        (at 1e-5 it demonstrably stalls — that is why f32 is the default)."""
+        P, q, A, l, u = fleet_problem()
+        eps = dict(eps_abs=1e-4, eps_rel=1e-4)
+        sx = solve_qp_shared(P, q, A, l, u, iterations=150, **eps)
+        sp = solve_qp_shared(P, q, A, l, u, iterations=150, backend="pallas",
+                             **eps)
+        assert int(sp.converged.sum()) >= int(sx.converged.sum()) - 25
+        # solutions agree wherever both lanes converged (unconverged lanes
+        # may sit on different intermediate iterates)
+        both = np.asarray(sp.converged & sx.converged)
+        np.testing.assert_allclose(np.asarray(sp.x)[both],
+                                   np.asarray(sx.x)[both], atol=5e-4)
 
     def test_falls_back_when_batch_not_divisible(self):
         """Non-256-divisible batches silently use the XLA path."""
@@ -52,3 +68,18 @@ class TestPallasBackend:
         s = solve_qp_shared(P, q, A, l, u, iterations=50, backend="pallas")
         assert s.x.shape == (100, 4 * N)
         assert np.all(np.isfinite(np.asarray(s.x)))
+
+    def test_factored_api_reuses_plant(self):
+        """factor once, solve many — the tick-loop shape."""
+        P, q, A, l, u = fleet_problem(B=256)
+        is_eq = jnp.all((u - l) < 1e-12, axis=0)
+        f = factor_shared_qp(P, A, is_eq)
+        s1 = solve_qp_factored(f, q, l, u, iterations=100)
+        s2 = solve_qp_shared(P, q, A, l, u, iterations=100)
+        np.testing.assert_allclose(np.asarray(s1.x), np.asarray(s2.x),
+                                   atol=1e-12)
+        # warm start (primal, dual, AND adapted ρ) from the previous solve
+        # converges at least as well in half the iterations
+        s3 = solve_qp_factored(f, q, l, u, iterations=50,
+                               x0=s1.x, y0=s1.y, s0=s1.rho_scale)
+        assert int(s3.converged.sum()) >= int(s1.converged.sum())
