@@ -9,9 +9,11 @@ regressor callback; here the update is a **pure step function**
 
 suited to ``lax.scan`` (streaming) and ``vmap`` (a fleet of estimators, one
 per MPC scenario — the batch-width win called out in SURVEY.md §3.2). The
-``m×m`` innovation system is solved with ``jnp.linalg.solve`` instead of the
-reference's explicit ``.inverse()`` (``RecursiveLeastSquare.cpp:120-123``) —
-same math, better conditioning, MXU-friendly when batched.
+``m×m`` innovation system is solved with an unrolled small-PSD Cholesky
+(:func:`blf_tpu.ops.linalg.solve_psd`) instead of the reference's explicit
+``.inverse()`` (``RecursiveLeastSquare.cpp:120-123``) — same math, better
+conditioning, and pure elementwise XLA ops so wide scenario batches never
+touch the latency-bound TPU linalg custom calls.
 
 Config parity: :func:`params_from_handler` reads the same four keys the
 reference's ``initialize`` does — ``lambda``, ``measurement_covariance``
@@ -25,6 +27,8 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from blf_tpu.ops.linalg import solve_psd
 
 __all__ = ["RLSParams", "RLSState", "init_from_handler", "rls_step", "rls_scan"]
 
@@ -72,8 +76,10 @@ def rls_step(
 
     AP = regressor @ P                                            # (…, m, p)
     S = lam * R + AP @ jnp.swapaxes(regressor, -1, -2)            # (…, m, m)
-    # K = P Aᵀ S⁻¹  ⇔  Kᵀ = S⁻¹ A P (S symmetric)
-    K = jnp.swapaxes(jnp.linalg.solve(S, AP), -1, -2)             # (…, p, m)
+    # K = P Aᵀ S⁻¹  ⇔  Kᵀ = S⁻¹ A P (S symmetric PSD). solve_psd unrolls the
+    # tiny m×m Cholesky into elementwise ops: the TPU linalg custom call is
+    # latency-bound per matrix and costs ~100× more on wide scenario batches.
+    K = jnp.swapaxes(solve_psd(S, AP), -1, -2)                    # (…, p, m)
 
     innovation = measurement - jnp.einsum("...mp,...p->...m", regressor, theta)
     theta_next = theta + jnp.einsum("...pm,...m->...p", K, innovation)
