@@ -1,0 +1,159 @@
+"""Scaling harness: DCM-MPC fleet throughput at 1 chip / N devices.
+
+BASELINE.json requires "solves/s efficiency measured at 1 chip, 1 host, and
+N>=2 hosts". This harness measures the sharded fleet tick (the same program
+``bench.py`` times) at every device count 1..D on the attached platform and
+reports weak-scaling efficiency (per-device throughput at N devices vs. at
+1 device). On this image only ONE real TPU chip is attached, so the N>=2
+rows are demonstrated on a virtual CPU mesh (``--virtual N`` sets
+``xla_force_host_platform_device_count`` before JAX imports) — the program,
+shardings, and collectives are identical to what a v5e-16 pod slice runs;
+only the executor changes. Multi-host entry is ``jax.distributed.initialize``
++ the same ``make_fleet_step`` (the mesh then spans hosts and the ``data``
+axis rides ICI/DCN).
+
+Usage:
+    python bench_scaling.py               # real platform, all device counts
+    python bench_scaling.py --virtual 8   # 8 virtual CPU devices (weak scaling)
+
+Prints one JSON line per device count plus a summary line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _parse():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--virtual", type=int, default=0,
+                    help="force N virtual CPU devices (weak-scaling demo)")
+    ap.add_argument("--batch-per-device", type=int, default=None,
+                    help="scenarios per device (default: 16384 on TPU, "
+                         "256 on CPU)")
+    ap.add_argument("--ticks", type=int, default=10)
+    ap.add_argument("--iterations", type=int, default=50)
+    ap.add_argument("--horizon", type=int, default=16)
+    return ap.parse_args()
+
+
+def main():
+    args = _parse()
+    if args.virtual:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={args.virtual}"
+        ).strip()
+
+    import jax
+
+    if args.virtual:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from blf_tpu.parallel.mesh import make_mesh, shard_batch
+    from blf_tpu.parallel.sweep import init_fleet, make_fleet_step
+    from __graft_entry__ import _example_problem
+
+    platform = jax.devices()[0].platform
+    n_total = len(jax.devices())
+    per_dev = args.batch_per_device or (16384 if platform == "tpu" else 256)
+    horizon = args.horizon
+    dtype = jnp.float32
+
+    counts = sorted({1, 2, 4, n_total} & set(range(1, n_total + 1))) or [1]
+    rows = []
+    for nd in counts:
+        mesh = make_mesh(nd, model_axis=1)
+        batch = per_dev * nd
+        params, dt, _, _, _, _, _ = _example_problem(batch, horizon, dtype)
+        stance = jnp.zeros(2, dtype)
+        zmp_ref = jnp.broadcast_to(stance, (horizon, 2))
+        dcm_ref = jnp.broadcast_to(stance, (horizon + 1, 2))
+        poly_A = jnp.tile(
+            jnp.asarray([[1.0, 0], [-1.0, 0], [0, 1.0], [0, -1.0]], dtype),
+            (horizon, 1, 1),
+        )
+        poly_b = jnp.broadcast_to(
+            jnp.asarray([0.1, 0.1, 0.06, 0.06], dtype), (horizon, 4)
+        )
+        num_constraints = 2 * horizon + horizon * poly_A.shape[-2]
+        state = init_fleet(
+            batch, horizon, num_constraints,
+            jnp.array([0.01, -0.01], dtype), jnp.array([0.01, -0.01], dtype),
+            dtype=dtype,
+        )
+        state = shard_batch(state, mesh)
+        rng = np.random.default_rng(0)
+        dist = jnp.asarray(rng.normal(0, 0.004, (batch, 1, 2)), dtype)
+        step = make_fleet_step(mesh, params, dt, iterations=args.iterations)
+
+        @jax.jit
+        def run_ticks(state):
+            def body(s, _):
+                s2, res = step.sharded_fn(s, dist, dcm_ref, zmp_ref,
+                                          poly_A, poly_b)
+                return s2, res
+
+            s, results = jax.lax.scan(body, state, None, length=args.ticks)
+            last = jax.tree_util.tree_map(lambda a: a[-1], results)
+            return s, last
+
+        state, result = run_ticks(state)          # compile + warm state
+        jax.block_until_ready(state.dcm)
+        t0 = time.perf_counter()
+        state, result = run_ticks(state)
+        jax.block_until_ready(state.dcm)
+        elapsed = time.perf_counter() - t0
+
+        tick_ms = elapsed / args.ticks * 1e3
+        sps = batch / (elapsed / args.ticks)
+        rows.append({
+            "devices": nd,
+            "platform": platform,
+            "batch": batch,
+            "solves_per_sec": round(sps, 1),
+            "solves_per_sec_per_device": round(sps / nd, 1),
+            "tick_ms": round(tick_ms, 2),
+            "num_converged": float(result.stats.num_converged),
+        })
+        print(json.dumps(rows[-1]))
+        sys.stdout.flush()
+
+    base = rows[0]["solves_per_sec_per_device"]
+    agg0 = rows[0]["solves_per_sec"]
+    summary = {
+        "metric": "fleet_weak_scaling",
+        "platform": platform,
+        "device_counts": [r["devices"] for r in rows],
+        "per_device_efficiency": [
+            round(r["solves_per_sec_per_device"] / base, 3) for r in rows
+        ],
+        "aggregate_vs_1dev": [
+            round(r["solves_per_sec"] / agg0, 3) for r in rows
+        ],
+    }
+    if args.virtual or platform == "cpu":
+        # N virtual devices share ONE host's silicon: per-device efficiency
+        # cannot exceed 1/N, so the meaningful column is aggregate throughput
+        # staying ~flat (collective/partition overhead only). Real pod slices
+        # add silicon per device; per_device_efficiency is the metric there.
+        summary["note"] = (
+            "virtual shared-silicon devices: read aggregate_vs_1dev "
+            "(~1.0 = shardings/collectives add no overhead)"
+        )
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
