@@ -481,7 +481,7 @@ def solve_qp_factored(
             return admm_stage(
                 x, z, y, s, qb, lb, ub,
                 A, f.W, f.d, f.base_rho,
-                iters=check_every, sigma=float(sigma), alpha=alpha,
+                iters=check_every, sigma=sigma, alpha=alpha,
                 refine=refine,
                 matmul=("f32" if backend == "pallas_f32" else "split"),
             )

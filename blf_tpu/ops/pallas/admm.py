@@ -81,10 +81,11 @@ def _dot_split(a, b_pair):
 
 def _stage_kernel(
     x_ref, z_ref, y_ref, s_ref, q_ref, l_ref, u_ref,
-    a_ref, at_ref, w_ref, wt_ref, d_ref, rho_ref,
+    a_ref, at_ref, w_ref, wt_ref, d_ref, rho_ref, sigma_ref,
     x_out, z_out, y_out,
-    *, iters: int, sigma: float, alpha: float, split: bool,
+    *, iters: int, alpha: float, split: bool,
 ):
+    sigma = sigma_ref[0, 0]
     x = x_ref[:]
     z = z_ref[:]
     y = y_ref[:]
@@ -115,6 +116,15 @@ def _stage_kernel(
         dot_w = lambda v: _dot_f32(v, W)
         dot_wt = lambda v: _dot_f32(v, Wt)
 
+    def _match_vma(v, like):
+        # under shard_map vma typing the ref reads carry varying-axis types
+        # but in-kernel ops drop them; re-assert so the fori_loop carry
+        # type-checks (no-op outside shard_map)
+        want = getattr(jax.typeof(like), "vma", frozenset())
+        have = getattr(jax.typeof(v), "vma", frozenset())
+        missing = tuple(ax for ax in want if ax not in have)
+        return jax.lax.pvary(v, missing) if missing else v
+
     def body(_, carry):
         x, z, y = carry
         rhs = sigma * x - q + dot_a(rho * z - y)
@@ -123,7 +133,7 @@ def _stage_kernel(
         z_relaxed = alpha * dot_at(x_tilde) + (1.0 - alpha) * z
         z_next = jnp.clip(z_relaxed + y / rho, l, u)
         y_next = y + rho * (z_relaxed - z_next)
-        return x_next, z_next, y_next
+        return _match_vma(x_next, x), _match_vma(z_next, z), _match_vma(y_next, y)
 
     x, z, y = jax.lax.fori_loop(0, iters, body, (x, z, y))
     x_out[:] = x
@@ -145,7 +155,7 @@ def admm_stage(
     base_rho: jnp.ndarray,  # (m,) structural ρ vector
     *,
     iters: int,
-    sigma: float,
+    sigma,                 # scalar (python float or traced 0-d array)
     alpha: float,
     refine: bool = False,
     matmul: str = "split",
@@ -178,7 +188,7 @@ def admm_stage(
                                        memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
-        _stage_kernel, iters=iters, sigma=float(sigma), alpha=float(alpha),
+        _stage_kernel, iters=iters, alpha=float(alpha),
         split=(matmul == "split"),
     )
     # clip() with ±inf operands is fine on the VPU; transposes precomputed.
@@ -188,16 +198,19 @@ def admm_stage(
         in_specs=[
             lane(n), lane(m), lane(m), lane(1), lane(n), lane(m), lane(m),
             full(m, n), full(n, m), full(n, n), full(n, n),
-            full(1, n), full(1, m),
+            full(1, n), full(1, m), full(1, 1),
         ],
         out_specs=[lane(n), lane(m), lane(m)],
+        # under shard_map's vma typing, outputs inherit the iterates' varying
+        # mesh axes (x/z/y are batch-sharded; the shared operators are not)
         out_shape=[
-            jax.ShapeDtypeStruct((B, n), x.dtype),
-            jax.ShapeDtypeStruct((B, m), z.dtype),
-            jax.ShapeDtypeStruct((B, m), y.dtype),
+            jax.ShapeDtypeStruct((B, n), x.dtype, vma=jax.typeof(x).vma),
+            jax.ShapeDtypeStruct((B, m), z.dtype, vma=jax.typeof(z).vma),
+            jax.ShapeDtypeStruct((B, m), y.dtype, vma=jax.typeof(y).vma),
         ],
         interpret=interpret,
     )(
         x, z, y, s, q, l, u,
         A, A.T, W, W.T, d.reshape(1, n), base_rho.reshape(1, m),
+        jnp.asarray(sigma, x.dtype).reshape(1, 1),
     )

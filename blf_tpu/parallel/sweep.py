@@ -78,12 +78,15 @@ def make_fleet_step(
     iterations: int = 200,
     rls_lambda: float = 0.98,
     meas_noise: float = 1e-4,
+    **qp_kwargs,
 ):
     """Build the jitted sharded tick function.
 
     Returns ``step(state, disturbance, dcm_ref, zmp_ref, poly_A, poly_b)
     -> (FleetState, TickResult)`` where ``disturbance`` is ``(B, K, 2)`` with
     ``K`` = mesh model-axis size (one push realization per ensemble lane).
+    Extra ``qp_kwargs`` (e.g. ``backend="pallas"``, ``check_every``) pass
+    through to :func:`blf_tpu.mpc.qp.solve_qp_factored`.
     """
     data_axis, model_axis = mesh.axis_names
 
@@ -107,7 +110,7 @@ def make_fleet_step(
             params, dt, dcm0, state.com, dcm_ref, zmp_ref, poly_A, poly_b,
             weights, iterations=iterations,
             warm_start=state.warm_zmp, warm_start_dual=state.warm_y,
-            s0=state.warm_s, shared=True,
+            s0=state.warm_s, shared=True, **qp_kwargs,
         )
 
         # collective QP reduce over the whole fleet: sum/max over the data
@@ -171,11 +174,16 @@ def make_fleet_step(
         worst_margin=P(),
         consensus_zmp0=P(data_axis),
     )
+    # vma typing is kept for the XLA path; the Pallas in-kernel loop drops
+    # varying-axis types from its carry (jax 0.9 pallas×shard_map gap), so
+    # the fused-kernel backend runs with the check off.
+    check_vma = qp_kwargs.get("backend", "xla") == "xla"
     sharded = shard_map(
         tick,
         mesh=mesh,
         in_specs=(state_spec, P(data_axis, model_axis), P(), P(), P(), P()),
         out_specs=(state_spec, result_spec),
+        check_vma=check_vma,
     )
     stepped = jax.jit(sharded)
     # expose the un-jitted sharded tick so callers can lax.scan many ticks
