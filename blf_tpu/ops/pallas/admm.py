@@ -168,7 +168,10 @@ def admm_stage(
     sizes to powers of two anyway; ``block_lanes`` drops to ``B`` when the
     batch is smaller). ±inf bounds are supported. ``interpret`` defaults to
     True off-TPU (CPU tests) and False on TPU. ``refine`` is accepted for
-    signature parity but unnecessary here (the spectral inverse is exact).
+    signature parity and ignored: the kernel is the loose-tolerance
+    throughput path (no iterative refinement of the spectral x-solve —
+    residuals floor ~1e-6 relative; cold ill-conditioned lanes that need
+    refinement should run ``backend="xla"``).
     """
     del refine
     if interpret is None:

@@ -37,9 +37,11 @@ def fleet_problem(B=256):
 class TestPallasBackend:
     def test_f32_mode_matches_xla_backend(self):
         """6-pass f32 kernel must reproduce the XLA stage math exactly
-        (interpret mode is bit-identical; on TPU the orders differ ~1e-6)."""
+        (interpret mode is bit-identical; on TPU the orders differ ~1e-6).
+        The kernel never refines, so compare against the unrefined XLA path
+        (refine=True is the XLA-only robustness default)."""
         P, q, A, l, u = fleet_problem()
-        sx = solve_qp_shared(P, q, A, l, u, iterations=100)
+        sx = solve_qp_shared(P, q, A, l, u, iterations=100, refine=False)
         sp = solve_qp_shared(P, q, A, l, u, iterations=100,
                              backend="pallas_f32")
         tol = 0.0 if jax.default_backend() == "cpu" else 1e-5
