@@ -5,13 +5,16 @@ QP-solver backends and batch sizes, printing one JSON line per config:
 ``{"backend", "batch", "tick_ms", "solves_per_s", "conv", "rp"}``. Use it to
 re-pick `bench.py`'s config when the solver or kernels change.
 
-Measured on the v5e (horizon 16, 50 iterations, f32) @ 2026-08-19:
+Measured on the v5e (horizon 16, 50 iterations, f32). Run-to-run spread at
+the peak is ~1%; the canonical headline number is the driver-recorded
+BENCH_r01.json run (3.66M solves/s at batch 98304, tick 26.88 ms,
+2026-08-19) — quoted by README.md and PARITY.md. One sweep @ 2026-08-19:
 
     backend     batch    tick_ms   solves/s
     xla         16384      6.9     2.37M
     xla         32768     10.3     3.17M     (XLA path peaks here)
     pallas      65536     18.4     3.57M
-    pallas      98304     26.8     3.67M     <- bench.py config
+    pallas      98304     26.8     3.66M     <- bench.py config
     pallas     131072     35.8     3.66M     (saturated)
     pallas_f32  65536     24.2     2.71M     (6-pass f32 MXU products)
 

@@ -69,6 +69,9 @@ class QPSolution(NamedTuple):
     converged: jnp.ndarray        # (…,) bool
     objective: jnp.ndarray        # (…,) ½xᵀPx + qᵀx
     rho_scale: jnp.ndarray = None  # (…, 1) adapted per-lane ρ multiplier s
+    refined: jnp.ndarray = None   # () bool: iterative refinement actually ran
+    #   (False when a pallas backend dropped a refine request — the accuracy
+    #   contract differs by backend and this is the runtime signal, ADVICE r1)
 
 
 @_f32_matmuls
@@ -265,7 +268,9 @@ def solve_qp_shared(
     s0: Optional[jnp.ndarray] = None,
     unroll: int = 1,
     backend: str = "xla",
-    refine: bool = True,
+    refine: Optional[bool] = None,
+    polish_iters: int = 0,
+    polish_scale: float = 0.01,
 ) -> QPSolution:
     """ADMM for a scenario fleet sharing ONE (P, A) with per-lane (q, l, u).
 
@@ -295,6 +300,7 @@ def solve_qp_shared(
         factors, q, l, u, iterations=iterations, alpha=alpha,
         eps_abs=eps_abs, eps_rel=eps_rel, check_every=check_every,
         x0=x0, y0=y0, s0=s0, unroll=unroll, backend=backend, refine=refine,
+        polish_iters=polish_iters, polish_scale=polish_scale,
     )
 
 
@@ -416,27 +422,53 @@ def solve_qp_factored(
     s0: Optional[jnp.ndarray] = None,
     unroll: int = 1,
     backend: str = "xla",
-    refine: bool = True,
+    refine: Optional[bool] = None,
     s_min: float = 1e-4,
     s_max: float = 1e4,
+    polish_iters: int = 0,
+    polish_scale: float = 0.01,
 ) -> QPSolution:
     """Solve a fleet of QPs against a prebuilt :class:`SharedQPFactors`.
 
     Per-lane continuous adaptive ρ: each lane carries a scalar ``s`` moved
     every ``check_every`` iterations by its own primal/dual residual ratio
     (OSQP rule with ×5 hysteresis); the spectral form evaluates every lane's
-    ``K(s)⁻¹`` with two shared GEMMs. ``refine=True`` (default) adds one
-    iterative-refinement pass per x-solve on the XLA path, which the f32
-    eigenbasis needs to reach default tolerances on ill-conditioned lanes
-    (see :func:`factor_shared_qp`). ``backend="pallas"`` fuses each stage
-    into a VMEM-resident TPU kernel (``"pallas_f32"`` for 6-pass f32 matmuls
-    instead of 3-pass split-f32); the kernel skips refinement — it is the
-    loose-tolerance throughput path (residuals floor ~1e-6 relative,
-    warm-started fleets converge fully).
+    ``K(s)⁻¹`` with two shared GEMMs. ``refine`` adds one iterative-refinement
+    pass per x-solve, which the f32 eigenbasis needs to reach default
+    tolerances on ill-conditioned lanes (see :func:`factor_shared_qp`). It
+    defaults to True on the XLA backend and is NOT supported by the fused
+    kernels: ``backend="pallas"`` (``"pallas_f32"`` for 6-pass f32 matmuls
+    instead of 3-pass split-f32) is the loose-tolerance throughput path
+    (residuals floor ~1e-6 relative, warm-started fleets converge fully).
+    Passing ``refine=True`` explicitly with a pallas backend warns and
+    records the downgrade in ``QPSolution.refined``.
+
+    ``polish_iters > 0`` appends a ρ-continuation dual polish: a final stage
+    of that many iterations at ``s·polish_scale``. In f32 the dual iterate's
+    update granularity is ``ρ·eps(|z|)`` — at the large adapted ``s`` the
+    main loop settles on, y oscillates at ~1e-4 absolute and the dual
+    residual floors there even though x/z are fully converged. A short
+    low-ρ tail (x already optimal, so primal holds) lets y settle with
+    ~100× finer granularity; measured on the horizon-8 DCM transcription it
+    moves the dual floor 7e-4 → 5e-5 for 25 extra iterations.
     """
     f = factors
     n, m = f.P_s.shape[-1], f.A_s.shape[-2]
     dtype = f.P_s.dtype
+    is_pallas = backend in ("pallas", "pallas_f32")
+    if refine and is_pallas:
+        import warnings
+
+        warnings.warn(
+            "refine=True is not supported by the fused pallas ADMM kernel; "
+            "running without iterative refinement (see QPSolution.refined). "
+            "Use backend='xla' for refined solves.",
+            stacklevel=2,
+        )
+    effective_refine = (not is_pallas) if refine is None else (
+        refine and not is_pallas
+    )
+    refine = effective_refine
     q = jnp.asarray(q)
     l, u = jnp.asarray(l), jnp.asarray(u)
     q_orig = q
@@ -487,7 +519,7 @@ def solve_qp_factored(
         t = _einsum("...n,nk->...k", resid, f.W) * dinv
         return x1 + _einsum("...k,nk->...n", t, f.W)
 
-    def run_stage(x, z, y, s):
+    def run_stage(x, z, y, s, iters):
         rho_lane = s * f.base_rho                          # (batch, m)
 
         if use_pallas:
@@ -496,8 +528,7 @@ def solve_qp_factored(
             return admm_stage(
                 x, z, y, s, qb, lb, ub,
                 A, f.W, f.d, f.base_rho,
-                iters=check_every, sigma=sigma, alpha=alpha,
-                refine=refine,
+                iters=iters, sigma=sigma, alpha=alpha,
                 matmul=("f32" if backend == "pallas_f32" else "split"),
             )
 
@@ -513,7 +544,7 @@ def solve_qp_factored(
             return (x_next, z_next, y_next), None
 
         (x, z, y), _ = jax.lax.scan(
-            body, (x, z, y), None, length=check_every, unroll=unroll
+            body, (x, z, y), None, length=iters, unroll=unroll
         )
         return x, z, y
 
@@ -522,7 +553,7 @@ def solve_qp_factored(
 
     def stage(carry, _):
         x, z, y, s = carry
-        x, z, y = run_stage(x, z, y, s)
+        x, z, y = run_stage(x, z, y, s, check_every)
         Ax = _einsum("...n,mn->...m", x, A)
         Px_ = _einsum("...m,nm->...n", x, P)
         Aty_ = _einsum("...m,nm->...n", y, A.T)
@@ -546,6 +577,14 @@ def solve_qp_factored(
         stage, (x, z, y, s), None, length=n_stages
     )
 
+    if polish_iters > 0:
+        # ρ-continuation dual polish (see docstring): y's granularity ∝ s, so
+        # a short low-s tail lets the duals settle; x is already converged and
+        # holds. s itself is NOT polished — the warm-start s for the next
+        # receding-horizon tick stays at the adapted operating point.
+        s_pol = jnp.clip(s * jnp.asarray(polish_scale, dtype), s_min, s_max)
+        x, z, y = run_stage(x, z, y, s_pol, polish_iters)
+
     # -- unscale + diagnostics in the original problem -----------------------
     x = f.D * x
     y = f.E * y / f.c
@@ -565,4 +604,4 @@ def solve_qp_factored(
     converged = (r_prim < prim_tol) & (r_dual < dual_tol)
     objective = 0.5 * jnp.sum(x * Px, axis=-1) + jnp.sum(q_orig * x, axis=-1)
     return QPSolution(x, y, z, r_prim, r_dual, converged, objective,
-                      rho_scale=s)
+                      rho_scale=s, refined=jnp.asarray(effective_refine))

@@ -143,3 +143,79 @@ class TestDiagnostics:
         warm = solve_qp(*args, iterations=30, x0=cold.x, y0=cold.y)
         assert float(warm.primal_residual) < 1e-6
         np.testing.assert_allclose(np.asarray(warm.x), np.asarray(cold.x), atol=1e-5)
+
+
+class TestDualPolish:
+    """ρ-continuation dual polish (round 2): the f32 dual-iterate granularity
+    is ∝ the adapted ρ, so a short low-ρ tail must lower the dual residual
+    without losing primal feasibility (the dryrun-config failure mode)."""
+
+    def _dryrun_problem(self):
+        from __graft_entry__ import _example_problem
+        from blf_tpu.mpc.dcm import solve_dcm_mpc
+
+        batch, horizon = 16, 8
+        dtype = jnp.float32
+        params, dt, _, dcm_ref, zmp_ref, poly_A, poly_b = _example_problem(
+            batch, horizon, dtype
+        )
+        dcm0 = jnp.broadcast_to(jnp.array([0.05, -0.08], dtype), (batch, 2))
+        nc = 2 * horizon + horizon * poly_A.shape[-2]
+        kwargs = dict(
+            warm_start=jnp.zeros((batch, horizon, 2), dtype),
+            warm_start_dual=jnp.zeros((batch, nc), dtype),
+            s0=jnp.ones((batch, 1), dtype),
+            shared=True, iterations=300,
+        )
+        return lambda **kw: solve_dcm_mpc(
+            params, dt, dcm0, dcm0, dcm_ref, zmp_ref, poly_A, poly_b,
+            **kwargs, **kw,
+        ), batch
+
+    def test_polish_lowers_dual_floor_and_converges(self):
+        solve, batch = self._dryrun_problem()
+        base = solve()
+        polished = solve(polish_iters=25)
+        # same f32 pipeline: the polish must beat the unpolished dual floor
+        assert (float(polished.qp.dual_residual.max())
+                < 0.5 * float(base.qp.dual_residual.max()))
+        # ... while keeping every lane primal-feasible and flag-converged
+        assert int(polished.qp.converged.sum()) == batch
+
+    def test_polish_preserves_solution(self):
+        solve, _ = self._dryrun_problem()
+        base = solve()
+        polished = solve(polish_iters=25)
+        np.testing.assert_allclose(
+            np.asarray(polished.zmp), np.asarray(base.zmp), atol=1e-4
+        )
+
+
+class TestRefineContract:
+    """refine=True + pallas backend: warn and record the downgrade (ADVICE r1)."""
+
+    def _shared_problem(self, batch=256):
+        from blf_tpu.mpc.qp import solve_qp_shared
+
+        rng = np.random.default_rng(3)
+        n, m = 8, 6
+        P = jnp.asarray(random_spd(n, rng))
+        A = jnp.asarray(rng.normal(size=(m, n)))
+        q = jnp.asarray(rng.normal(size=(batch, n)))
+        l = jnp.full((batch, m), -1.0)
+        u = jnp.full((batch, m), 1.0)
+        return solve_qp_shared, (P, q, A, l, u)
+
+    def test_explicit_refine_on_pallas_warns(self):
+        solve, args = self._shared_problem()
+        with pytest.warns(UserWarning, match="refine=True is not supported"):
+            sol = solve(*args, iterations=50, backend="pallas", refine=True)
+        assert not bool(sol.refined)
+
+    def test_refined_field_reflects_backend(self):
+        solve, args = self._shared_problem()
+        assert bool(solve(*args, iterations=25).refined)
+        assert not bool(
+            solve(*args, iterations=25, backend="pallas").refined
+        )
+        assert not bool(solve(*args, iterations=25, refine=False).refined)
