@@ -333,6 +333,8 @@ class SharedQPFactors(NamedTuple):
     sigma: jnp.ndarray      # scalar ADMM σ
     P_orig: jnp.ndarray     # (n, n) unscaled, for diagnostics
     A_orig: jnp.ndarray     # (m, n) unscaled
+    G2: jnp.ndarray = None  # (m, n) Ā·W — the v-space iteration operator
+    #   (t = w·G2 − q·W and Ax̃ = τ·G2ᵀ: the two per-iteration GEMMs)
 
 
 @_f32_matmuls
@@ -401,7 +403,7 @@ def factor_shared_qp(
     return SharedQPFactors(
         P_s=P, A_s=A, R2=R2, W=W, d=d, base_rho=base_rho, D=D, E=E,
         c=jnp.asarray(c, dtype), sigma=jnp.asarray(sigma, dtype),
-        P_orig=P_orig, A_orig=A_orig,
+        P_orig=P_orig, A_orig=A_orig, G2=A @ W,
     )
 
 
@@ -429,6 +431,17 @@ def solve_qp_factored(
     polish_scale: float = 0.01,
 ) -> QPSolution:
     """Solve a fleet of QPs against a prebuilt :class:`SharedQPFactors`.
+
+    **v-space iteration.** The σ·x proximal term is dropped from the x-step
+    rhs (exact ADMM for the σ-regularized cost P̄+σI; the fixed point shifts
+    by ``σ·‖x‖`` ≈ 1e-7·‖x‖ at the default σ, below the solver's residual
+    floor). The primal iterate then never feeds back, and the whole OSQP
+    iteration collapses onto the pre-clip constraint-space point
+    ``v = z_relaxed + y/ρ`` (``z = clip(v, l, u)``, ``y = ρ(v − z)`` are
+    recovered views): two GEMMs per iteration (contractions of size m and n
+    against ``G2 = Ā·W``) instead of four — the (n, n) spectral-basis
+    products appear only at stage boundaries and in the final unscale. Both
+    backends (XLA and pallas) run this same recursion.
 
     Per-lane continuous adaptive ρ: each lane carries a scalar ``s`` moved
     every ``check_every`` iterations by its own primal/dual residual ratio
@@ -483,23 +496,41 @@ def solve_qp_factored(
     if y0 is not None:
         y0 = f.c * y0 / f.E
 
-    x = jnp.broadcast_to(q * 0 if x0 is None else x0 + q * 0, batch + (n,))
-    z = _einsum("mn,...n->...m", A, x)
-    z = jnp.broadcast_to(z, batch + (m,))
-    y = jnp.broadcast_to(z * 0 if y0 is None else y0 + z * 0, batch + (m,))
-    # warm ρ state: receding-horizon callers thread the adapted per-lane s
-    # from the previous tick (QPSolution.rho_scale) to skip re-adaptation
+    # per-lane warm ρ state first: the v-space init depends on ρ(s)
     s = jnp.broadcast_to(
         jnp.ones((1,), dtype) if s0 is None else jnp.asarray(s0, dtype),
         batch + (1,),
     )
+    x_init = jnp.broadcast_to(q * 0 if x0 is None else x0 + q * 0, batch + (n,))
+    z = _einsum("mn,...n->...m", A, x_init)
+    z = jnp.broadcast_to(z, batch + (m,))
+    y = jnp.broadcast_to(z * 0 if y0 is None else y0 + z * 0, batch + (m,))
     # merge the batch operands' varying mesh axes into the carry init so the
     # stage scan type-checks under shard_map (vma typing)
-    s = s + 0.0 * (x[..., :1] + z[..., :1] + y[..., :1])
+    s = s + 0.0 * (x_init[..., :1] + z[..., :1] + y[..., :1])
 
     lb = jnp.broadcast_to(l, batch + (m,))
     ub = jnp.broadcast_to(u, batch + (m,))
     qb = jnp.broadcast_to(q, batch + (n,))
+
+    G2 = f.G2 if f.G2 is not None else A @ f.W
+    gq = _einsum("...n,nk->...k", qb, f.W)   # q·W — constant across stages
+
+    # v-space iterate: v = z + y/ρ, so z = clip(v, l, u) and y = ρ(v − z)
+    # are recovered views. Warm starts from a previous solve satisfy the
+    # complementarity this encodes; otherwise iteration 1 re-projects.
+    v = z + y / (s * f.base_rho)
+    # aux primal carry: spectral τ (x̃ = τ·Wᵀ) on the fast path, materialized
+    # x̃ when refining. Neither feeds back into the v recursion, so 0 is an
+    # exact init (overwritten on the first iteration).
+    tau = jnp.zeros_like(x_init)
+
+    def _x_of(tau):
+        return tau if refine else _einsum("...k,nk->...n", tau, f.W)
+
+    def _Ax_of(tau):
+        return (_einsum("...n,mn->...m", tau, A) if refine
+                else _einsum("...n,nm->...m", tau, G2.T))
 
     use_pallas = (
         backend in ("pallas", "pallas_f32")
@@ -507,54 +538,56 @@ def solve_qp_factored(
         and batch[0] % 256 == 0
     )
 
-    def spectral_solve(rhs, s):
-        dinv = 1.0 / (1.0 + s * f.d)          # (batch, n) spectral gains
-        t = _einsum("...n,nk->...k", rhs, f.W) * dinv
-        x1 = _einsum("...k,nk->...n", t, f.W)
-        if not refine:
-            return x1
-        Kx = (_einsum("...n,nk->...k", x1, P) + sigma * x1
-              + s * _einsum("...n,nk->...k", x1, f.R2))
-        resid = rhs - Kx
-        t = _einsum("...n,nk->...k", resid, f.W) * dinv
-        return x1 + _einsum("...k,nk->...n", t, f.W)
-
-    def run_stage(x, z, y, s, iters):
+    def run_stage(v, tau, s, iters):
         rho_lane = s * f.base_rho                          # (batch, m)
+        dinv = 1.0 / (1.0 + s * f.d)                       # (batch, n)
 
         if use_pallas:
             from blf_tpu.ops.pallas.admm import admm_stage
 
             return admm_stage(
-                x, z, y, s, qb, lb, ub,
-                A, f.W, f.d, f.base_rho,
-                iters=iters, sigma=sigma, alpha=alpha,
+                v, tau, s, gq, lb, ub, G2, f.d, f.base_rho,
+                iters=iters, alpha=alpha,
                 matmul=("f32" if backend == "pallas_f32" else "split"),
             )
 
         def body(carry, _):
-            x, z, y = carry
-            rhs = sigma * x - qb + _einsum("...m,mn->...n", rho_lane * z - y, A)
-            x_tilde = spectral_solve(rhs, s)
-            x_next = alpha * x_tilde + (1 - alpha) * x
-            Ax_tilde = _einsum("...n,mn->...m", x_tilde, A)
-            z_relaxed = alpha * Ax_tilde + (1 - alpha) * z
-            z_next = jnp.clip(z_relaxed + y / rho_lane, lb, ub)
-            y_next = y + rho_lane * (z_relaxed - z_next)
-            return (x_next, z_next, y_next), None
+            v, tau = carry
+            z = jnp.clip(v, lb, ub)
+            w = rho_lane * (2.0 * z - v)
+            t = _einsum("...m,mn->...n", w, G2) - gq       # = rhs·W
+            if refine:
+                # accuracy path: materialize x̃, one iterative-refinement
+                # pass against K(s) = P̄ + σI + s·R2 through the eigenbasis
+                x1 = _einsum("...k,nk->...n", t * dinv, f.W)
+                Kx1 = (_einsum("...n,nk->...k", x1, P) + sigma * x1
+                       + s * _einsum("...n,nk->...k", x1, f.R2))
+                rhs = _einsum("...m,mn->...n", w, A) - qb
+                t2 = _einsum("...n,nk->...k", rhs - Kx1, f.W) * dinv
+                x_t = x1 + _einsum("...k,nk->...n", t2, f.W)
+                v_next = v + alpha * (_einsum("...n,mn->...m", x_t, A) - z)
+                return (v_next, x_t), None
+            tau_next = t * dinv                            # x̃ = τ·Wᵀ
+            v_next = v + alpha * (
+                _einsum("...n,nm->...m", tau_next, G2.T) - z
+            )
+            return (v_next, tau_next), None
 
-        (x, z, y), _ = jax.lax.scan(
-            body, (x, z, y), None, length=iters, unroll=unroll
+        (v, tau), _ = jax.lax.scan(
+            body, (v, tau), None, length=iters, unroll=unroll
         )
-        return x, z, y
+        return v, tau
 
     check_every = max(1, min(check_every, iterations))
     n_stages = max(1, -(-iterations // check_every))
 
     def stage(carry, _):
-        x, z, y, s = carry
-        x, z, y = run_stage(x, z, y, s, check_every)
-        Ax = _einsum("...n,mn->...m", x, A)
+        v, tau, s = carry
+        v, tau = run_stage(v, tau, s, check_every)
+        z = jnp.clip(v, lb, ub)
+        y = (s * f.base_rho) * (v - z)
+        x = _x_of(tau)
+        Ax = _Ax_of(tau)
         Px_ = _einsum("...m,nm->...n", x, P)
         Aty_ = _einsum("...m,nm->...n", y, A.T)
         rp = jnp.max(jnp.abs(Ax - z), axis=-1) / jnp.maximum(
@@ -570,11 +603,14 @@ def solve_qp_factored(
         # only when it leaves [1/5, 5] (continuous s — no ladder quantization)
         ratio = jnp.sqrt(rp / jnp.maximum(rd, 1e-12))[..., None]
         move = (ratio > 5.0) | (ratio < 0.2)
-        s = jnp.where(move, jnp.clip(s * ratio, s_min, s_max), s)
-        return (x, z, y, s), None
+        s_new = jnp.where(move, jnp.clip(s * ratio, s_min, s_max), s)
+        # ρ changed ⇒ re-express v so the recovered (z, y) views are
+        # invariant: ρ_old(v_old − z) = y = ρ_new(v_new − z)
+        v = z + (s / s_new) * (v - z)
+        return (v, tau, s_new), None
 
-    (x, z, y, s), _ = jax.lax.scan(
-        stage, (x, z, y, s), None, length=n_stages
+    (v, tau, s), _ = jax.lax.scan(
+        stage, (v, tau, s), None, length=n_stages
     )
 
     if polish_iters > 0:
@@ -583,7 +619,16 @@ def solve_qp_factored(
         # holds. s itself is NOT polished — the warm-start s for the next
         # receding-horizon tick stays at the adapted operating point.
         s_pol = jnp.clip(s * jnp.asarray(polish_scale, dtype), s_min, s_max)
-        x, z, y = run_stage(x, z, y, s_pol, polish_iters)
+        z = jnp.clip(v, lb, ub)
+        v = z + (s / s_pol) * (v - z)
+        v, tau = run_stage(v, tau, s_pol, polish_iters)
+        rho_final = s_pol * f.base_rho
+    else:
+        rho_final = s * f.base_rho
+
+    x = _x_of(tau)
+    z = jnp.clip(v, lb, ub)
+    y = rho_final * (v - z)
 
     # -- unscale + diagnostics in the original problem -----------------------
     x = f.D * x

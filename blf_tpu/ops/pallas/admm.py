@@ -1,42 +1,44 @@
-"""Fused batched ADMM stage — Pallas TPU kernel (spectral per-lane ρ form).
+"""Fused batched ADMM stage — Pallas TPU kernel (v-space spectral form).
 
 The hot op of the scenario-sweep path (BASELINE "rollout and QP factorization
 kernels must hit speed-of-light"): one *stage* of the spectral shared-matrix
 ADMM of :func:`blf_tpu.mpc.qp.solve_qp_factored` — ``iters`` iterations at
 fixed per-lane penalty multiplier ``s`` — executed entirely in VMEM. The XLA
-version streams ``x/z/y/rhs`` through HBM every iteration and pays this
-machine's per-op dispatch floor (~10-30 µs/op measured at these tensor
-sizes); here a lane block stays resident across all iterations, so HBM sees
-each lane exactly twice (load + store) and the whole stage is ONE device op.
+version pays this machine's per-op dispatch floor (~10-30 µs/op measured at
+these tensor sizes) and streams the iterates through HBM every stage; here a
+lane block stays resident across all iterations, so HBM sees each lane
+exactly twice (load + store) and the whole stage is ONE device op.
 
-Math per iteration (identical to the XLA path, bit-close in interpret mode):
+**v-space formulation.** With the σ·x proximal term dropped from the x-step
+rhs (exact for ``sigma=0``; for the tiny default σ the fixed point shifts by
+``σ·‖x‖ ≈ 1e-7`` — see ``factor_shared_qp``), the primal iterate never feeds
+back into the recursion and the whole OSQP iteration collapses onto the
+*pre-clip constraint-space point* ``v = z_relaxed + y/ρ`` (so
+``z = clip(v, l, u)`` and ``y = ρ(v − z)`` are recoverable views, not state):
 
-    ρ    = s · ρ_base                        (per-lane scalar × structural)
-    rhs  = σx − q + (ρz − y) A
-    x̃   = W ((Wᵀ' rhs) / (1 + s·d)) — exact K(s)⁻¹ for every lane's s via
-                                      the pencil eigenbasis (qp.py docs)
-    x    = αx̃ + (1−α)x
-    zr   = α x̃ Aᵀ + (1−α) z
-    z    = clip(zr + y/ρ, l, u)
-    y    = y + ρ (zr − z)
+    z  = clip(v, l, u)
+    w  = ρ ⊙ (2z − v)                       ( = ρz − y )
+    t  = w·G₂ − (q·W)                       ( = rhs·W, G₂ = A·W )
+    τ  = t / (1 + s·d)                      ( x̃ = τ·Wᵀ, exact K(s)⁻¹ )
+    v += α (τ·G₂ᵀ − z)                      ( relaxed z/y update, fused )
 
-``matmul="split"`` runs every product as 3 bf16 MXU passes on a hi/lo
+Two GEMMs per iteration, contraction dims m and n — versus four in the
+(x, z, y) form (which needs two extra (n, n) spectral-basis products per
+iteration). Identical math to the XLA path of ``solve_qp_factored``
+(bit-close in interpret mode).
+
+``matmul="split"`` runs both products as 3 bf16 MXU passes on a hi/lo
 split-f32 pair (~2× the MXU rate of 6-pass ``Precision.HIGHEST``, rel. err
 ≲ 2⁻¹⁷). It is the loose-tolerance throughput mode relative to the refined
 XLA path, but its measured floor is ~1e-6 relative residuals on the
-warm-started fleet (bench: max primal residual 6.9e-7 at 50 iterations) —
-fine at the default eps of 1e-5. ``"f32"`` keeps the full 6-pass HIGHEST
-products (bit-compatible with the XLA path). Reference: the reference snapshot has no QP solver at all
-(SURVEY.md §7 new components); this kernel is pure TPU engineering.
+warm-started fleet — fine at the default eps of 1e-5. ``"f32"`` keeps the
+full 6-pass HIGHEST products (bit-compatible with the XLA path). Reference:
+the reference snapshot has no QP solver at all (SURVEY.md §7 new
+components); this kernel is pure TPU engineering.
 
-Measured on the tunnel-attached v5e (B=16k, n=64, m=96, 50 iters, chained):
-XLA 5.8 ms, kernel-f32 7.1 ms, kernel-split 5.7 ms — XLA's scheduler
-currently wins at these shapes, so the solver defaults to ``backend="xla"``
-and this kernel stays as the optional substrate for pod-scale shapes where
-the one-op-per-stage dispatch profile pays off.
-
-Per-block VMEM at ``block_lanes=1024`` (n, m ≤ 128): iterates ~2.5 MB +
-shared operators ~0.2 MB — comfortably under 16 MB.
+Per-block VMEM at ``block_lanes=1024`` (n, m ≤ 128): iterates + bounds
+~1.8 MB + shared operators ~0.2 MB — comfortably under 16 MB with revolving
+buffers.
 """
 
 from __future__ import annotations
@@ -82,17 +84,15 @@ def _dot_split(a, b_pair):
 
 
 def _stage_kernel(
-    x_ref, z_ref, y_ref, s_ref, q_ref, l_ref, u_ref,
-    a_ref, at_ref, w_ref, wt_ref, d_ref, rho_ref, sigma_ref,
-    x_out, z_out, y_out,
+    v_ref, tau_ref, s_ref, gq_ref, l_ref, u_ref,
+    g2_ref, g2t_ref, d_ref, rho_ref,
+    v_out, tau_out,
     *, iters: int, alpha: float, split: bool,
 ):
-    sigma = sigma_ref[0, 0]
-    x = x_ref[:]
-    z = z_ref[:]
-    y = y_ref[:]
+    v = v_ref[:]
+    tau = tau_ref[:]
     s = s_ref[:]                    # (BB, 1) per-lane penalty multiplier
-    q = q_ref[:]                    # (BB, n) per-lane linear term
+    gq = gq_ref[:]                  # (BB, n) q·W, constant across iterations
     l = l_ref[:]
     u = u_ref[:]
     d = d_ref[:]                    # (1, n) pencil eigenvalues
@@ -100,88 +100,72 @@ def _stage_kernel(
     dinv = 1.0 / (1.0 + s * d)      # (BB, n) spectral gains — fixed per stage
 
     if split:
-        A_pair = _split(a_ref[:])
-        At_pair = _split(at_ref[:])
-        W_pair = _split(w_ref[:])
-        Wt_pair = _split(wt_ref[:])
-        dot_a = lambda v: _dot_split(v, A_pair)
-        dot_at = lambda v: _dot_split(v, At_pair)
-        dot_w = lambda v: _dot_split(v, W_pair)
-        dot_wt = lambda v: _dot_split(v, Wt_pair)
+        G2_pair = _split(g2_ref[:])
+        G2t_pair = _split(g2t_ref[:])
+        dot_g2 = lambda a: _dot_split(a, G2_pair)
+        dot_g2t = lambda a: _dot_split(a, G2t_pair)
     else:
-        A = a_ref[:]                # (m, n)
-        At = at_ref[:]              # (n, m)
-        W = w_ref[:]                # (n, n)
-        Wt = wt_ref[:]              # (n, n)
-        dot_a = lambda v: _dot_f32(v, A)
-        dot_at = lambda v: _dot_f32(v, At)
-        dot_w = lambda v: _dot_f32(v, W)
-        dot_wt = lambda v: _dot_f32(v, Wt)
+        G2 = g2_ref[:]              # (m, n) = A·W
+        G2t = g2t_ref[:]            # (n, m)
+        dot_g2 = lambda a: _dot_f32(a, G2)
+        dot_g2t = lambda a: _dot_f32(a, G2t)
 
-    def _match_vma(v, like):
+    def _match_vma(x, like):
         # under shard_map vma typing the ref reads carry varying-axis types
         # but in-kernel ops drop them; re-assert so the fori_loop carry
         # type-checks (no-op outside shard_map)
         want = getattr(jax.typeof(like), "vma", frozenset())
-        have = getattr(jax.typeof(v), "vma", frozenset())
+        have = getattr(jax.typeof(x), "vma", frozenset())
         missing = tuple(ax for ax in want if ax not in have)
-        return jax.lax.pvary(v, missing) if missing else v
+        return jax.lax.pvary(x, missing) if missing else x
 
     def body(_, carry):
-        x, z, y = carry
-        rhs = sigma * x - q + dot_a(rho * z - y)
-        x_tilde = dot_wt(dot_w(rhs) * dinv)
-        x_next = alpha * x_tilde + (1.0 - alpha) * x
-        z_relaxed = alpha * dot_at(x_tilde) + (1.0 - alpha) * z
-        z_next = jnp.clip(z_relaxed + y / rho, l, u)
-        y_next = y + rho * (z_relaxed - z_next)
-        return _match_vma(x_next, x), _match_vma(z_next, z), _match_vma(y_next, y)
+        v, tau = carry
+        z = jnp.clip(v, l, u)
+        w = rho * (2.0 * z - v)
+        t = dot_g2(w) - gq
+        tau_next = t * dinv
+        v_next = v + alpha * (dot_g2t(tau_next) - z)
+        return _match_vma(v_next, v), _match_vma(tau_next, tau)
 
-    x, z, y = jax.lax.fori_loop(0, iters, body, (x, z, y))
-    x_out[:] = x
-    z_out[:] = z
-    y_out[:] = y
+    v, tau = jax.lax.fori_loop(0, iters, body, (v, tau))
+    v_out[:] = v
+    tau_out[:] = tau
 
 
 def admm_stage(
-    x: jnp.ndarray,        # (B, n)
-    z: jnp.ndarray,        # (B, m)
-    y: jnp.ndarray,        # (B, m)
+    v: jnp.ndarray,        # (B, m) pre-clip constraint-space iterate
+    tau: jnp.ndarray,      # (B, n) spectral primal (x̃ = τ·Wᵀ); init 0 is fine
     s: jnp.ndarray,        # (B, 1) per-lane penalty multiplier
-    q: jnp.ndarray,        # (B, n) per-lane linear term
+    gq: jnp.ndarray,       # (B, n) per-lane q·W (constant over the stage)
     l: jnp.ndarray,        # (B, m)
     u: jnp.ndarray,        # (B, m)
-    A: jnp.ndarray,        # (m, n) shared constraints (scaled frame)
-    W: jnp.ndarray,        # (n, n) spectral basis (K(s)⁻¹ = W/(1+s·d)·Wᵀ)
+    G2: jnp.ndarray,       # (m, n) shared A·W (scaled frame)
     d: jnp.ndarray,        # (n,) pencil eigenvalues
     base_rho: jnp.ndarray,  # (m,) structural ρ vector
     *,
     iters: int,
-    sigma,                 # scalar (python float or traced 0-d array)
     alpha: float,
-    refine: bool = False,
     matmul: str = "split",
     block_lanes: int = 1024,
     interpret: Optional[bool] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Run ``iters`` fused spectral-ADMM iterations; returns (x, z, y).
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run ``iters`` fused v-space ADMM iterations; returns (v, τ).
 
     ``B`` must be a multiple of ``block_lanes`` (the sweep path pads batch
     sizes to powers of two anyway; ``block_lanes`` drops to ``B`` when the
     batch is smaller). ±inf bounds are supported. ``interpret`` defaults to
-    True off-TPU (CPU tests) and False on TPU. ``refine`` is accepted for
-    signature parity and ignored: the kernel is the loose-tolerance
-    throughput path (no iterative refinement of the spectral x-solve —
-    residuals floor ~1e-6 relative; cold ill-conditioned lanes that need
-    refinement should run ``backend="xla"``).
+    True off-TPU (CPU tests) and False on TPU. The kernel is the
+    loose-tolerance throughput path (no iterative refinement of the spectral
+    x-solve — residuals floor ~1e-6 relative; cold ill-conditioned lanes that
+    need refinement should run ``backend="xla"`` with ``refine=True``).
     """
-    del refine
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if matmul not in ("split", "f32"):
         raise ValueError(f"unknown matmul mode {matmul!r}")
-    B, n = x.shape
-    m = z.shape[-1]
+    B, m = v.shape
+    n = tau.shape[-1]
     block_lanes = min(block_lanes, B)
     if B % block_lanes:
         raise ValueError(f"batch {B} not divisible by block_lanes {block_lanes}")
@@ -201,21 +185,18 @@ def admm_stage(
         kernel,
         grid=grid,
         in_specs=[
-            lane(n), lane(m), lane(m), lane(1), lane(n), lane(m), lane(m),
-            full(m, n), full(n, m), full(n, n), full(n, n),
-            full(1, n), full(1, m), full(1, 1),
+            lane(m), lane(n), lane(1), lane(n), lane(m), lane(m),
+            full(m, n), full(n, m), full(1, n), full(1, m),
         ],
-        out_specs=[lane(n), lane(m), lane(m)],
+        out_specs=[lane(m), lane(n)],
         # under shard_map's vma typing, outputs inherit the iterates' varying
-        # mesh axes (x/z/y are batch-sharded; the shared operators are not)
+        # mesh axes (v/τ are batch-sharded; the shared operators are not)
         out_shape=[
-            jax.ShapeDtypeStruct((B, n), x.dtype, vma=jax.typeof(x).vma),
-            jax.ShapeDtypeStruct((B, m), z.dtype, vma=jax.typeof(z).vma),
-            jax.ShapeDtypeStruct((B, m), y.dtype, vma=jax.typeof(y).vma),
+            jax.ShapeDtypeStruct((B, m), v.dtype, vma=jax.typeof(v).vma),
+            jax.ShapeDtypeStruct((B, n), tau.dtype, vma=jax.typeof(tau).vma),
         ],
         interpret=interpret,
     )(
-        x, z, y, s, q, l, u,
-        A, A.T, W, W.T, d.reshape(1, n), base_rho.reshape(1, m),
-        jnp.asarray(sigma, x.dtype).reshape(1, 1),
+        v, tau, s, gq, l, u,
+        G2, G2.T, d.reshape(1, n), base_rho.reshape(1, m),
     )

@@ -19,10 +19,46 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_specs"]
+__all__ = ["init_distributed", "make_mesh", "shard_batch", "replicate",
+           "data_parallel_specs"]
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialize multi-host JAX (one process per host of a pod slice).
+
+    Thin, idempotent wrapper over ``jax.distributed.initialize``: on cloud
+    TPU pods all three arguments are discovered from the runtime metadata,
+    so bare ``init_distributed()`` is the whole multi-host launch story —
+    afterwards ``jax.devices()`` spans the slice, :func:`make_mesh` builds a
+    global mesh whose data axis rides ICI within hosts and DCN across them,
+    and the ``shard_map`` fleet step (:mod:`blf_tpu.parallel.sweep`) runs
+    unchanged (BASELINE "N ≥ 2 hosts" row). Single-process runs (no
+    coordinator, one host) skip initialization and return 0.
+
+    Returns this host's process index.
+    """
+    already = getattr(jax.distributed, "is_initialized", None)
+    if callable(already) and already():
+        return jax.process_index()
+    if coordinator_address is None and num_processes is None:
+        try:  # cloud TPU metadata path: fully automatic discovery
+            jax.distributed.initialize()
+        except (ValueError, RuntimeError):
+            return 0  # single-process (CPU dev box / one-host run)
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index()
 
 
 def make_mesh(
@@ -44,9 +80,18 @@ def make_mesh(
         raise ValueError(f"requested {n_devices} devices, have {len(devices)}")
     if n_devices % model_axis != 0:
         raise ValueError("n_devices must be divisible by model_axis")
-    grid = np.asarray(devices[:n_devices]).reshape(
-        n_devices // model_axis, model_axis
-    )
+    shape = (n_devices // model_axis, model_axis)
+    if n_devices == len(devices):
+        # topology-aware placement: contiguous ICI neighborhoods per axis
+        # (and per host on multi-host slices); falls back to enumeration
+        # order when the physical topology doesn't factor into the shape.
+        try:
+            from jax.experimental import mesh_utils
+
+            return Mesh(mesh_utils.create_device_mesh(shape), axis_names)
+        except (ValueError, NotImplementedError, AssertionError):
+            pass
+    grid = np.asarray(devices[:n_devices]).reshape(shape)
     return Mesh(grid, axis_names)
 
 
