@@ -1,0 +1,232 @@
+"""Fused rigid-foot contact rollout — Pallas TPU kernel.
+
+The reference's hot simulation loop (``FixedStepIntegrator.tpp:48-61`` over
+contact-closed floating-base dynamics, SURVEY.md §3.1) for the rigid-foot
+case, executed entirely in VMEM: a lane block's state stays on-chip for ALL
+``steps`` Euler steps, so HBM sees each lane exactly twice (load + store)
+instead of twice *per step* as in the ``lax.scan`` XLA path. The math is
+identical to :func:`blf_tpu.models.foot.foot_dynamics` (closed-form patch
+wrench ``ContinuousContactModel.cpp:79-108``, Newton–Euler with diagonal
+body inertia, Baumgarte SO(3) stabilisation ``FloatingBaseSystemKinematics
+.cpp:64-68``).
+
+Layout: **struct-of-rows, lane-minor** — every scalar field is a ``(1, B)``
+row (positions 3 rows, rotations 9, …), so each VPU op runs across the full
+128-wide lane dimension; the lane-major ``(B, C)`` layout would waste
+≈ 100 − C/128 % of every vector op. All compute is elementwise/cross-product
+VPU work (no MXU): per-lane 3×3 algebra is unrolled componentwise, and the
+symmetric 3×3 inverse in the Baumgarte term is a closed-form adjugate.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["foot_rollout_fused"]
+
+GRAVITY_Z = -9.81
+
+
+def _cross(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def _mat_vec(r, v):
+    """r: 9-tuple, row-major R[i][j] = r[3i+j]; v: 3-tuple."""
+    return tuple(r[3 * i] * v[0] + r[3 * i + 1] * v[1] + r[3 * i + 2] * v[2]
+                 for i in range(3))
+
+
+def _mat_t_vec(r, v):
+    return tuple(r[j] * v[0] + r[3 + j] * v[1] + r[6 + j] * v[2]
+                 for j in range(3))
+
+
+def _rollout_kernel(
+    p_ref, r_ref, v_ref, w_ref, p0_ref, r0_ref, kb_ref, scal_ref,
+    p_out, r_out, v_out, w_out,
+    *, steps: int,
+):
+    L = scal_ref[0, 0]
+    Wd = scal_ref[1, 0]
+    mass = scal_ref[2, 0]
+    I1, I2, I3 = scal_ref[3, 0], scal_ref[4, 0], scal_ref[5, 0]
+    rho = scal_ref[6, 0]
+    dt = scal_ref[7, 0]
+
+    row = lambda ref, i: ref[i:i + 1, :]                 # (1, BB)
+    p0 = tuple(row(p0_ref, i) for i in range(3))
+    r0 = tuple(row(r0_ref, i) for i in range(9))
+    k = row(kb_ref, 0)
+    b = row(kb_ref, 1)
+    area = L * Wd
+    L2, W2 = L * L, Wd * Wd
+    r0e1 = (r0[0], r0[3], r0[6])
+    r0e2 = (r0[1], r0[4], r0[7])
+
+    def body(_, carry):
+        p, r, v, w = carry                                # tuples of (1, BB)
+        # -- closed-form patch wrench (ContinuousContactModel.cpp:79-108) --
+        ar33 = jnp.abs(r[8])
+        fscale = ar33 * area
+        f = tuple(fscale * (k * (p0[i] - p[i]) - b * v[i]) for i in range(3))
+        re1 = (r[0], r[3], r[6])
+        re2 = (r[1], r[4], r[7])
+        e1w = _cross(re1, _cross(re1, w))
+        e2w = _cross(re2, _cross(re2, w))
+        e1r0 = _cross(re1, r0e1)
+        e2r0 = _cross(re2, r0e2)
+        tscale = ar33 * (area / 12.0)
+        tau = tuple(
+            tscale * (L2 * (b * e1w[i] + k * e1r0[i])
+                      + W2 * (b * e2w[i] + k * e2r0[i]))
+            for i in range(3)
+        )
+
+        # -- Newton–Euler with diagonal body inertia ------------------------
+        v_dot = (f[0] / mass, f[1] / mass, f[2] / mass + GRAVITY_Z)
+        u = _mat_t_vec(r, w)                       # Rᵀω
+        iww = _mat_vec(r, (I1 * u[0], I2 * u[1], I3 * u[2]))
+        gyro = _cross(w, iww)
+        te = tuple(tau[i] - gyro[i] for i in range(3))
+        ut = _mat_t_vec(r, te)
+        w_dot = _mat_vec(r, (ut[0] / I1, ut[1] / I2, ut[2] / I3))
+
+        # -- Ṙ = ω̂R + ρ/2 (S⁻¹ − I) R, S = RRᵀ (adjugate inverse) ----------
+        # S symmetric: s_ik = Σ_j r[i][j] r[k][j]
+        s00 = r[0] * r[0] + r[1] * r[1] + r[2] * r[2]
+        s01 = r[0] * r[3] + r[1] * r[4] + r[2] * r[5]
+        s02 = r[0] * r[6] + r[1] * r[7] + r[2] * r[8]
+        s11 = r[3] * r[3] + r[4] * r[4] + r[5] * r[5]
+        s12 = r[3] * r[6] + r[4] * r[7] + r[5] * r[8]
+        s22 = r[6] * r[6] + r[7] * r[7] + r[8] * r[8]
+        c00 = s11 * s22 - s12 * s12
+        c01 = s02 * s12 - s01 * s22
+        c02 = s01 * s12 - s02 * s11
+        c11 = s00 * s22 - s02 * s02
+        c12 = s01 * s02 - s00 * s12
+        c22 = s00 * s11 - s01 * s01
+        det = s00 * c00 + s01 * c01 + s02 * c02
+        inv = 1.0 / det
+        m_rows = ((c00 * inv - 1.0, c01 * inv, c02 * inv),
+                  (c01 * inv, c11 * inv - 1.0, c12 * inv),
+                  (c02 * inv, c12 * inv, c22 * inv - 1.0))
+        half_rho = 0.5 * rho
+        r_dot = []
+        for i in range(3):
+            for j in range(3):
+                col = (r[j], r[3 + j], r[6 + j])
+                wxr = (w[(i + 1) % 3] * col[(i + 2) % 3]
+                       - w[(i + 2) % 3] * col[(i + 1) % 3])
+                corr = (m_rows[i][0] * r[j] + m_rows[i][1] * r[3 + j]
+                        + m_rows[i][2] * r[6 + j])
+                r_dot.append(wxr + half_rho * corr)
+
+        # -- forward Euler (ForwardEuler.tpp:19-41: x += dT·f) ---------------
+        p_n = tuple(p[i] + dt * v[i] for i in range(3))
+        v_n = tuple(v[i] + dt * v_dot[i] for i in range(3))
+        w_n = tuple(w[i] + dt * w_dot[i] for i in range(3))
+        r_n = tuple(r[i] + dt * r_dot[i] for i in range(9))
+        return p_n, r_n, v_n, w_n
+
+    p = tuple(row(p_ref, i) for i in range(3))
+    r = tuple(row(r_ref, i) for i in range(9))
+    v = tuple(row(v_ref, i) for i in range(3))
+    w = tuple(row(w_ref, i) for i in range(3))
+    p, r, v, w = jax.lax.fori_loop(0, steps, body, (p, r, v, w))
+    for i in range(3):
+        p_out[i:i + 1, :] = p[i]
+        v_out[i:i + 1, :] = v[i]
+        w_out[i:i + 1, :] = w[i]
+    for i in range(9):
+        r_out[i:i + 1, :] = r[i]
+
+
+def foot_rollout_fused(
+    cparams,              # blf_tpu.models.contact.ContactParams (scalars)
+    fparams,              # blf_tpu.models.foot.FootParams
+    state,                # blf_tpu.models.foot.FootState, leaves (B, …)
+    null_position,        # (B, 3) or (3,)
+    null_rotation,        # (B, 3, 3) or (3, 3)
+    *,
+    dt,
+    steps: int,
+    block_lanes: int = 512,
+    interpret=None,
+):
+    """Run the fused rollout; returns the final FootState (same shapes).
+
+    Scalar contact/foot parameters may be traced; ``spring_coeff`` /
+    ``damper_coeff`` may additionally be per-lane ``(B,)`` (identification
+    sweeps). ``steps`` must be a static int.
+    """
+    from blf_tpu.models.foot import FootState
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B = state.position.shape[0]
+    dtype = state.position.dtype
+    block_lanes = min(block_lanes, B)
+    if B % block_lanes:
+        raise ValueError(f"batch {B} not divisible by block_lanes {block_lanes}")
+
+    t = lambda a: jnp.swapaxes(a, 0, 1)
+    p_t = t(state.position)                                  # (3, B)
+    r_t = t(state.rotation.reshape(B, 9))                    # (9, B)
+    v_t = t(state.linear_velocity)
+    w_t = t(state.angular_velocity)
+    p0_t = t(jnp.broadcast_to(null_position, (B, 3)))
+    r0_t = t(jnp.broadcast_to(null_rotation, (B, 3, 3)).reshape(B, 9))
+    def _lane_coeff(c):
+        a = jnp.asarray(c, dtype)
+        a = a.reshape(-1) if a.ndim else a       # accept (), (B,), (B, 1)
+        return jnp.broadcast_to(a, (B,))
+
+    kb = jnp.stack([_lane_coeff(cparams.spring_coeff),
+                    _lane_coeff(cparams.damper_coeff)])      # (2, B)
+    scal = jnp.stack([
+        jnp.asarray(cparams.length, dtype).reshape(()),
+        jnp.asarray(cparams.width, dtype).reshape(()),
+        jnp.asarray(fparams.mass, dtype).reshape(()),
+        jnp.asarray(fparams.inertia, dtype)[0],
+        jnp.asarray(fparams.inertia, dtype)[1],
+        jnp.asarray(fparams.inertia, dtype)[2],
+        jnp.asarray(fparams.baumgarte_rho, dtype).reshape(()),
+        jnp.asarray(dt, dtype).reshape(()),
+    ]).reshape(8, 1)
+
+    lane = lambda rows: pl.BlockSpec((rows, block_lanes), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM)
+    grid = (B // block_lanes,)
+    kernel = functools.partial(_rollout_kernel, steps=int(steps))
+    p_o, r_o, v_o, w_o = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            lane(3), lane(9), lane(3), lane(3), lane(3), lane(9), lane(2),
+            pl.BlockSpec((8, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[lane(3), lane(9), lane(3), lane(3)],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, B), dtype),
+            jax.ShapeDtypeStruct((9, B), dtype),
+            jax.ShapeDtypeStruct((3, B), dtype),
+            jax.ShapeDtypeStruct((3, B), dtype),
+        ],
+        interpret=interpret,
+    )(p_t, r_t, v_t, w_t, p0_t, r0_t, kb, scal)
+
+    return FootState(
+        position=p_o.T,
+        rotation=r_o.T.reshape(B, 3, 3),
+        linear_velocity=v_o.T,
+        angular_velocity=w_o.T,
+    )

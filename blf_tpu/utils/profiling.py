@@ -260,6 +260,32 @@ def main() -> None:  # pragma: no cover - exercised on hardware
         solve, q_b, l_b, u_b,
         label=f"qp.solve_factored (B={batch})"))
 
+    # the other BASELINE hot kernel: the contact-dynamics rollout
+    from blf_tpu.models.contact import ContactParams
+    from blf_tpu.models.foot import FootParams, FootState, foot_rollout
+    from blf_tpu.ops.lie import so3_exp
+
+    cparams = ContactParams(
+        length=jnp.asarray(0.2, dtype), width=jnp.asarray(0.1, dtype),
+        spring_coeff=jnp.asarray(2e5, dtype),
+        damper_coeff=jnp.asarray(2e3, dtype))
+    fparams = FootParams(
+        mass=jnp.asarray(0.75, dtype),
+        inertia=jnp.asarray([2e-3, 4e-3, 5e-3], dtype),
+        baumgarte_rho=jnp.asarray(10.0, dtype))
+    fs = FootState(
+        position=jnp.asarray(rng.normal(0, 1e-3, (batch, 3)), dtype),
+        rotation=so3_exp(jnp.asarray(rng.normal(0, 0.02, (batch, 3)), dtype)),
+        linear_velocity=jnp.asarray(rng.normal(0, 0.05, (batch, 3)), dtype),
+        angular_velocity=jnp.asarray(rng.normal(0, 0.05, (batch, 3)), dtype))
+    p0 = jnp.zeros((batch, 3), dtype)
+    R0 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (batch, 3, 3))
+    for be in ("xla", "pallas"):
+        rows.append(sol_report(
+            jax.jit(lambda s, be=be: foot_rollout(
+                cparams, fparams, s, p0, R0, dt=1e-3, steps=200, backend=be)),
+            fs, label=f"foot_rollout[{be}] (B={batch})"))
+
     for r in rows:
         print(_format_row(r))
 
