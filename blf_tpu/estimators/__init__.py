@@ -1,1 +1,2 @@
-"""Batched estimation: recursive least squares and streaming filters."""
+"""Batched estimation: recursive least squares, momentum-based contact
+wrench observers, and streaming filters."""
