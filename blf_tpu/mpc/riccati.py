@@ -13,7 +13,14 @@ provides the linear-quadratic backbone both ways:
   Linear Quadratic ..."), O(log T) depth — the building block for sharding a
   long horizon across a mesh axis (ICI block exchange), enabled single-chip
   first exactly as SURVEY.md §7 plans ("gate behind a flag; serial scan is
-  the fallback").
+  the fallback");
+- :func:`solve_lqr_sharded`: the horizon SHARDED over a mesh axis — each
+  device scans its own contiguous time block, block summaries are exchanged
+  with one ``all_gather`` (+ one ``ppermute`` halo for the next-knot values),
+  and the O(P)-element cross-block prefix runs redundantly per device. This
+  is the framework's ring-attention analogue: communication is two tiny
+  collectives of (nx, nx) blocks per solve, independent of the local horizon
+  length, riding ICI when the mesh axis is an ICI ring.
 
 Problem: ``min Σ_k ½ xₖᵀQₖxₖ + ½ uₖᵀRₖuₖ  +  ½ x_TᵀQ_T x_T``
 subject to ``x_{k+1} = Fₖ xₖ + Lₖ uₖ + cₖ``.
@@ -29,7 +36,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["LQRSolution", "solve_lqr"]
+__all__ = ["LQRSolution", "solve_lqr", "solve_lqr_sharded"]
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -82,6 +89,77 @@ def _sequential_value(Fs, cs, Ls, Qs, Rs, QT):
     return Ks, kffs, Ps, ps
 
 
+def _value_elements(Fs, cs, Ls, Qs, Rs):
+    """Per-interval Särkkä elements e = (A, b, C, η, J)."""
+    nx = Fs.shape[-1]
+    dtype = Fs.dtype
+    Cs = jnp.einsum("kij,kjl,kml->kim", Ls, jnp.linalg.inv(Rs), Ls,
+                    precision=_PREC)
+    return (
+        Fs,                                   # A
+        cs,                                   # b
+        Cs,                                   # C
+        jnp.zeros((Fs.shape[0], nx), dtype),  # η
+        Qs,                                   # J
+    )
+
+
+def _terminal_element(QT):
+    nx = QT.shape[-1]
+    dtype = QT.dtype
+    return (
+        jnp.zeros((nx, nx), dtype),
+        jnp.zeros((nx,), dtype),
+        jnp.zeros((nx, nx), dtype),
+        jnp.zeros((nx,), dtype),
+        QT,
+    )
+
+
+def _combine_value(e_ij, e_jk):
+    """Compose two conditional-value elements, earlier (i→j) first.
+
+    Associative; works on any matching leading batch dims.
+    """
+    A1, b1, C1, eta1, J1 = e_ij
+    A2, b2, C2, eta2, J2 = e_jk
+    eye = jnp.eye(A1.shape[-1], dtype=A1.dtype)
+    I = jnp.broadcast_to(eye, A1.shape)
+    D = jnp.linalg.inv(I + _mm(C1, J2))        # (…, nx, nx)
+    Dt = jnp.linalg.inv(I + _mm(J2, C1))
+    A = _mm(A2, _mm(D, A1))
+    b = _mm(A2, _mm(D, (b1 + _mm(C1, eta2[..., None])[..., 0])[..., None])
+            )[..., 0] + b2
+    C = _mm(A2, _mm(D, _mm(C1, jnp.swapaxes(A2, -1, -2)))) + C2
+    eta = _mm(
+        jnp.swapaxes(A1, -1, -2),
+        _mm(Dt, (eta2 - _mm(J2, b1[..., None])[..., 0])[..., None]),
+    )[..., 0] + eta1
+    J = _mm(jnp.swapaxes(A1, -1, -2), _mm(Dt, _mm(J2, A1))) + J1
+    return (A, b, C, eta, J)
+
+
+def _suffix_scan(elems):
+    """Suffix combine along axis 0: out[k] = e_k ⊗ e_{k+1} ⊗ … ⊗ e_last.
+
+    reverse=True flips, prefix-scans, flips back — so the binary op sees its
+    arguments in (later, earlier) original-order; swap to keep combine's
+    (e_ij, e_jk) convention.
+    """
+    return jax.lax.associative_scan(
+        lambda a, b: _combine_value(b, a), elems, reverse=True, axis=0
+    )
+
+
+def _gains_one(F, c, L, R, P_next, p_next):
+    """One-step argmin against V_{k+1}: feedback K and feedforward kff."""
+    H = R + _mm(L.T, _mm(P_next, L))
+    K = jnp.linalg.solve(H, _mm(L.T, _mm(P_next, F)))
+    g = _mm(L.T, (_mm(P_next, c[:, None])[:, 0] + p_next)[:, None])[:, 0]
+    kff = jnp.linalg.solve(H, g[:, None])[:, 0]
+    return K, kff
+
+
 def _parallel_value(Fs, cs, Ls, Qs, Rs, QT):
     """Associative-scan Riccati (Särkkä & García-Fernández elements).
 
@@ -89,69 +167,17 @@ def _parallel_value(Fs, cs, Ls, Qs, Rs, QT):
     between two knots; composition is associative, so a reversed
     ``associative_scan`` yields every suffix value function in O(log T) depth.
     """
-    nx = Fs.shape[-1]
-    dtype = Fs.dtype
-    eye = jnp.eye(nx, dtype=dtype)
-
-    # per-interval elements
-    Cs = jnp.einsum("kij,kjl,kml->kim", Ls, jnp.linalg.inv(Rs), Ls,
-                    precision=_PREC)
-    elems = (
-        Fs,                                   # A
-        cs,                                   # b
-        Cs,                                   # C
-        jnp.zeros((Fs.shape[0], nx), dtype),  # η
-        Qs,                                   # J
-    )
-    # terminal element
-    term = (
-        jnp.zeros((1, nx, nx), dtype),
-        jnp.zeros((1, nx), dtype),
-        jnp.zeros((1, nx, nx), dtype),
-        jnp.zeros((1, nx), dtype),
-        QT[None],
-    )
+    elems = _value_elements(Fs, cs, Ls, Qs, Rs)
+    term = jax.tree_util.tree_map(lambda t: t[None], _terminal_element(QT))
     elems = jax.tree_util.tree_map(
         lambda a, t: jnp.concatenate([a, t], axis=0), elems, term
     )
-
-    def combine(e_ij, e_jk):
-        A1, b1, C1, eta1, J1 = e_ij
-        A2, b2, C2, eta2, J2 = e_jk
-        I = jnp.broadcast_to(eye, A1.shape)
-        D = jnp.linalg.inv(I + _mm(C1, J2))        # (…, nx, nx)
-        Dt = jnp.linalg.inv(I + _mm(J2, C1))
-        A = _mm(A2, _mm(D, A1))
-        b = _mm(A2, _mm(D, (b1 + _mm(C1, eta2[..., None])[..., 0])[..., None])
-                )[..., 0] + b2
-        C = _mm(A2, _mm(D, _mm(C1, jnp.swapaxes(A2, -1, -2)))) + C2
-        eta = _mm(
-            jnp.swapaxes(A1, -1, -2),
-            _mm(Dt, (eta2 - _mm(J2, b1[..., None])[..., 0])[..., None]),
-        )[..., 0] + eta1
-        J = _mm(jnp.swapaxes(A1, -1, -2), _mm(Dt, _mm(J2, A1))) + J1
-        return (A, b, C, eta, J)
-
-    # reverse=True flips, prefix-scans, flips back — so the binary op sees its
-    # arguments in (later, earlier) original-order; swap to keep combine's
-    # (e_ij, e_jk) convention.
-    suffix = jax.lax.associative_scan(
-        lambda a, b: combine(b, a), elems, reverse=True, axis=0
-    )
+    suffix = _suffix_scan(elems)
     _, _, _, etas, Js = suffix
     # value at knot k: V_k(x) = ½xᵀ J_k x − η_kᵀ x (+const)
     Ps = Js
     ps = -etas
-
-    # gains from the one-step argmin against V_{k+1}
-    def gains(F, c, L, R, P_next, p_next):
-        H = R + _mm(L.T, _mm(P_next, L))
-        K = jnp.linalg.solve(H, _mm(L.T, _mm(P_next, F)))
-        g = _mm(L.T, (_mm(P_next, c[:, None])[:, 0] + p_next)[:, None])[:, 0]
-        kff = jnp.linalg.solve(H, g[:, None])[:, 0]
-        return K, kff
-
-    Ks, kffs = jax.vmap(gains)(Fs, cs, Ls, Rs, Ps[1:], ps[1:])
+    Ks, kffs = jax.vmap(_gains_one)(Fs, cs, Ls, Rs, Ps[1:], ps[1:])
     return Ks, kffs, Ps, ps
 
 
@@ -187,4 +213,132 @@ def solve_lqr(
     return LQRSolution(
         gains=Ks, feedforward=kffs, value_matrices=Ps, value_vectors=ps,
         states=xs, controls=us,
+    )
+
+
+def _combine_affine(e1, e2):
+    """Compose affine maps x ↦ Mx + d, earlier first: e2 ∘ e1."""
+    M1, d1 = e1
+    M2, d2 = e2
+    return _mm(M2, M1), _mm(M2, d1[..., None])[..., 0] + d2
+
+
+def solve_lqr_sharded(
+    Fs: jnp.ndarray,   # (T, nx, nx) — T must divide by the mesh axis size
+    cs: jnp.ndarray,   # (T, nx)
+    Ls: jnp.ndarray,   # (T, nx, nu)
+    Qs: jnp.ndarray,   # (T, nx, nx)
+    Rs: jnp.ndarray,   # (T, nu, nu)
+    QT: jnp.ndarray,   # (nx, nx)
+    x0: jnp.ndarray,   # (nx,)
+    mesh,
+    axis_name: str,
+) -> LQRSolution:
+    """Horizon-sharded LQR: the SP component proper (SURVEY.md §2.3/§5).
+
+    The time axis is sharded over ``mesh.shape[axis_name]`` devices via
+    ``shard_map``. Per solve, cross-device traffic is exactly:
+
+    1. one ``all_gather`` of each block's composed value element — P elements
+       of ~(nx, nx) floats (the "ICI block exchange");
+    2. one ``ppermute`` halo shifting each block's first (P_k, p_k) to the
+       previous device (next-knot values for the gain computation);
+    3. one ``all_gather`` of each block's composed closed-loop affine map for
+       the forward rollout.
+
+    Everything else — the O(B log B) local suffix/prefix scans and the
+    redundant O(P)-element cross-block prefix — is device-local, so
+    communication volume is independent of the local horizon length B.
+    Results match :func:`solve_lqr` to roundoff (tests assert it on an
+    8-virtual-device mesh).
+
+    Reference parity note: the reference integrates time strictly serially
+    (``FixedStepIntegrator.tpp:48-61``); this capability has no counterpart
+    there and exists because a TPU pod makes horizon-parallelism free to
+    ride ICI.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    T = Fs.shape[0]
+    n_shards = mesh.shape[axis_name]
+    if T % n_shards:
+        raise ValueError(f"horizon {T} not divisible by {n_shards} shards")
+    nx = Fs.shape[-1]
+    dtype = Fs.dtype
+
+    def block(Fs, cs, Ls, Qs, Rs, QT, x0):
+        B = Fs.shape[0]          # local block length
+        idx = jax.lax.axis_index(axis_name)
+        # --- backward value pass -------------------------------------------
+        elems = _value_elements(Fs, cs, Ls, Qs, Rs)
+        S = _suffix_scan(elems)                 # S[i] = e_i ⊗ … ⊗ e_{B−1}
+        comp = jax.tree_util.tree_map(lambda x: x[0], S)
+        gathered = jax.lax.all_gather(comp, axis_name)      # (P, …)
+        term = _terminal_element(QT)
+        allb = jax.tree_util.tree_map(
+            lambda g, t: jnp.concatenate([g, t[None]], axis=0), gathered, term
+        )
+        Rfull = _suffix_scan(allb)      # Rfull[j] = block_j ⊗ … ⊗ term
+        Rsel = jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, idx + 1, 0,
+                                                   keepdims=False),
+            Rfull,
+        )
+        Rb = jax.tree_util.tree_map(
+            lambda r: jnp.broadcast_to(r, (B,) + r.shape), Rsel
+        )
+        _, _, _, etas, Js = _combine_value(S, Rb)
+        P_loc, p_loc = Js, -etas                # values at local knots
+
+        # next-knot values: local shift + one-element halo from device d+1
+        first = (P_loc[0], p_loc[0])
+        perm = [(d, d - 1) for d in range(1, n_shards)]
+        recvP, recvp = jax.lax.ppermute(first, axis_name, perm)
+        is_last = idx == n_shards - 1
+        lastP = jnp.where(is_last, QT, recvP)
+        lastp = jnp.where(is_last, jnp.zeros((nx,), dtype), recvp)
+        P_next = jnp.concatenate([P_loc[1:], lastP[None]], axis=0)
+        p_next = jnp.concatenate([p_loc[1:], lastp[None]], axis=0)
+        Ks, kffs = jax.vmap(_gains_one)(Fs, cs, Ls, Rs, P_next, p_next)
+
+        # --- forward rollout (closed-loop affine prefix) -------------------
+        M = Fs - _mm(Ls, Ks)
+        dv = cs - _mm(Ls, kffs[..., None])[..., 0]
+        Pinc = jax.lax.associative_scan(_combine_affine, (M, dv), axis=0)
+        bcomp = jax.tree_util.tree_map(lambda x: x[-1], Pinc)
+        gmaps = jax.lax.all_gather(bcomp, axis_name)        # (P, …)
+        Ginc = jax.lax.associative_scan(_combine_affine, gmaps, axis=0)
+        safe = jnp.maximum(idx - 1, 0)
+        Esel = jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, safe, 0,
+                                                   keepdims=False), Ginc
+        )
+        ident = (jnp.eye(nx, dtype=dtype), jnp.zeros((nx,), dtype))
+        EM = jnp.where(idx == 0, ident[0], Esel[0])
+        Ed = jnp.where(idx == 0, ident[1], Esel[1])
+        x_b = _mm(EM, x0[:, None])[:, 0] + Ed   # state at the block start
+        xs_rest = (
+            _mm(Pinc[0][:-1], x_b[None, :, None])[..., 0] + Pinc[1][:-1]
+        )
+        xs = jnp.concatenate([x_b[None], xs_rest], axis=0)  # knots b..b+B−1
+        us = -(_mm(Ks, xs[..., None])[..., 0] + kffs)
+        return Ks, kffs, P_loc, p_loc, xs, us
+
+    sharded = shard_map(
+        block, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name),
+                  P(axis_name), P(), P()),
+        out_specs=(P(axis_name),) * 6,
+    )
+    Ks, kffs, Ps, ps, xs, us = sharded(Fs, cs, Ls, Qs, Rs, QT, x0)
+    # terminal knot, computed once outside the sharded region
+    xT = (_mm(Fs[-1], xs[-1][:, None])[:, 0]
+          + _mm(Ls[-1], us[-1][:, None])[:, 0] + cs[-1])
+    return LQRSolution(
+        gains=Ks, feedforward=kffs,
+        value_matrices=jnp.concatenate([Ps, QT[None]], axis=0),
+        value_vectors=jnp.concatenate([ps, jnp.zeros((1, nx), dtype)], 0),
+        states=jnp.concatenate([xs, xT[None]], axis=0),
+        controls=us,
     )

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from blf_tpu.mpc.riccati import solve_lqr
+from blf_tpu.mpc.riccati import solve_lqr, solve_lqr_sharded
 
 RNG = np.random.default_rng(0)
 
@@ -126,3 +126,40 @@ class TestParallel:
         np.testing.assert_allclose(
             np.asarray(sols.controls[5]), np.asarray(solo.controls), atol=1e-10
         )
+
+
+class TestSharded:
+    """Horizon-sharded LQR over a virtual device mesh (the SP component)."""
+
+    def _mesh(self, n):
+        import numpy as np_
+        from jax.sharding import Mesh
+
+        return Mesh(np_.array(jax.devices()[:n]), ("seq",))
+
+    @pytest.mark.parametrize("n_shards", [2, 4, 8])
+    def test_matches_sequential(self, n_shards):
+        prob = random_lqr(T=32, nx=4, nu=2,
+                          rng=np.random.default_rng(3 + n_shards))
+        ref = solve_lqr(*prob)
+        mesh = self._mesh(n_shards)
+        sol = solve_lqr_sharded(*prob, mesh, "seq")
+        np.testing.assert_allclose(sol.gains, ref.gains, atol=1e-8)
+        np.testing.assert_allclose(sol.feedforward, ref.feedforward,
+                                   atol=1e-8)
+        np.testing.assert_allclose(sol.value_matrices, ref.value_matrices,
+                                   rtol=1e-8, atol=1e-8)
+        np.testing.assert_allclose(sol.states, ref.states, atol=1e-8)
+        np.testing.assert_allclose(sol.controls, ref.controls, atol=1e-8)
+
+    def test_jit_and_horizon_not_divisible(self):
+        mesh = self._mesh(4)
+        prob = random_lqr(T=16, nx=3, nu=2, rng=np.random.default_rng(9))
+        jitted = jax.jit(
+            lambda *a: solve_lqr_sharded(*a, mesh, "seq").controls
+        )
+        ref = solve_lqr(*prob)
+        np.testing.assert_allclose(jitted(*prob), ref.controls, atol=1e-8)
+        bad = random_lqr(T=18, nx=3, nu=2, rng=np.random.default_rng(10))
+        with pytest.raises(ValueError, match="not divisible"):
+            solve_lqr_sharded(*bad, mesh, "seq")
