@@ -73,17 +73,23 @@ def rls_step(
     """
     lam, R = params.lam, params.measurement_covariance
     theta, P = state.theta, state.covariance
+    hi = jax.lax.Precision.HIGHEST  # bf16 MXU products break P's PSD-ness
+    #   (S goes indefinite → Cholesky NaN); these m×p products are tiny and
+    #   latency-bound, so full-f32 passes are free.
 
-    AP = regressor @ P                                            # (…, m, p)
-    S = lam * R + AP @ jnp.swapaxes(regressor, -1, -2)            # (…, m, m)
+    AP = jnp.matmul(regressor, P, precision=hi)                   # (…, m, p)
+    S = lam * R + jnp.matmul(
+        AP, jnp.swapaxes(regressor, -1, -2), precision=hi)        # (…, m, m)
     # K = P Aᵀ S⁻¹  ⇔  Kᵀ = S⁻¹ A P (S symmetric PSD). solve_psd unrolls the
     # tiny m×m Cholesky into elementwise ops: the TPU linalg custom call is
     # latency-bound per matrix and costs ~100× more on wide scenario batches.
     K = jnp.swapaxes(solve_psd(S, AP), -1, -2)                    # (…, p, m)
 
-    innovation = measurement - jnp.einsum("...mp,...p->...m", regressor, theta)
-    theta_next = theta + jnp.einsum("...pm,...m->...p", K, innovation)
-    P_next = (P - K @ AP) / lam
+    innovation = measurement - jnp.einsum(
+        "...mp,...p->...m", regressor, theta, precision=hi)
+    theta_next = theta + jnp.einsum(
+        "...pm,...m->...p", K, innovation, precision=hi)
+    P_next = (P - jnp.matmul(K, AP, precision=hi)) / lam
     # Re-symmetrize: the reference's exact update (doubles, λ=1) tolerates the
     # drift, but λ<1 and/or f32 batches need P to stay symmetric PSD.
     P_next = 0.5 * (P_next + jnp.swapaxes(P_next, -1, -2))
