@@ -91,6 +91,23 @@ def main():
     solves_per_sec = batch / tick_time
     realtime_bar = 4096.0 / 16.0 * replan_hz  # 2560 solves/s/chip
 
+    # telemetry + per-lane status ride the production tick (SURVEY.md §5);
+    # the stream sinks to stderr so stdout stays the driver's ONE JSON line
+    import sys
+
+    from blf_tpu.utils.status import status_counts
+    from blf_tpu.utils.telemetry import TelemetryStream
+
+    telemetry = TelemetryStream(sink=sys.stderr, name="bench_fleet")
+    record = telemetry.publish({
+        "converged": result.stats.num_converged,
+        "max_primal_residual": result.stats.max_primal_residual,
+        "max_dual_residual": result.stats.max_dual_residual,
+        "worst_margin": result.worst_margin,
+        "quarantined": result.num_quarantined,
+    }, step=2 * ticks)
+    counts = status_counts(result.status)
+
     print(json.dumps({
         "metric": "dcm_mpc_solves_per_sec_per_chip",
         "value": round(solves_per_sec, 1),
@@ -104,6 +121,10 @@ def main():
             "backend": backend,
             "num_converged": float(result.stats.num_converged),
             "max_primal_residual": float(result.stats.max_primal_residual),
+            "status_counts": counts,
+            "quarantined": float(result.num_quarantined),
+            "telemetry_record": {k: v for k, v in record.items()
+                                 if k not in ("stream", "time")},
             "device": str(jax.devices()[0]),
             "dtype": "float32",
         },

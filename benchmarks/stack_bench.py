@@ -1,0 +1,157 @@
+"""BASELINE config 4 on-chip benchmark — hierarchical stack throughput.
+
+A vmapped fleet of FULL control stacks (23-DoF humanoid plant, 10 Hz DCM-MPC
+outer loop, 100 Hz whole-body QP inner loop, RK4 contact physics at 2.5 kHz,
+momentum observer + RLS push filter in the loop — ``blf_tpu.mpc.stack``)
+run on one TPU chip. Reports **outer ticks/s/chip** and the derived
+real-time fleet size (each stack needs 10 outer ticks/s), plus convergence
+counts so the number is honest about solve quality, not just speed.
+
+Run on TPU:   python benchmarks/stack_bench.py [batch]
+Prints ONE JSON line (same contract as bench.py).
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main(batch: int = 512) -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from blf_tpu.models import rigid_body as rb
+    from blf_tpu.models.kinematics import forward_kinematics, frame_pose
+    from blf_tpu.models.lipm import LIPMParams
+    from blf_tpu.models.robots import HUMANOID_SOLE_FRAMES, make_humanoid_23dof
+    from blf_tpu.mpc.stack import StackConfig, init_stack, make_stack_step
+    from blf_tpu.mpc.wholebody import WholeBodyParams
+
+    tree = make_humanoid_23dof()
+    wbc = WholeBodyParams(contact_frames=HUMANOID_SOLE_FRAMES)
+    n = tree.num_dofs
+    horizon = 8
+    dtype = jnp.float32
+
+    # standing posture (same as tests/test_control_stack.py, f32)
+    q = np.zeros(n)
+    names, dof = tree.link_names, tree.dof_index
+    for side in ("l", "r"):
+        q[dof[names.index(f"{side}_upper_leg")]] = 0.25
+        q[dof[names.index(f"{side}_lower_leg")]] = -0.5
+        q[dof[names.index(f"{side}_ankle_1")]] = 0.25
+    qj = jnp.asarray(q, dtype)
+    poses0 = forward_kinematics(tree, jnp.zeros(3, dtype),
+                                jnp.eye(3, dtype=dtype), qj)
+    _, p_sole = frame_pose(tree, poses0, "l_sole")
+    plant = rb.FloatingBaseState(
+        base_twist=jnp.zeros(6, dtype),
+        joint_velocities=jnp.zeros(n, dtype),
+        base_position=jnp.asarray([0.0, 0.0, -float(p_sole[2])], dtype),
+        base_rotation=jnp.eye(3, dtype=dtype),
+        joint_positions=qj,
+    )
+    poses = forward_kinematics(tree, plant.base_position, plant.base_rotation,
+                               plant.joint_positions)
+    com = rb.com_position(tree, poses)
+    lipm = LIPMParams(jnp.asarray(float(com[2]), dtype),
+                      jnp.asarray(9.81, dtype))
+    stance = jnp.asarray(com[:2], dtype)
+    zmp_ref = jnp.broadcast_to(stance, (horizon, 2))
+    dcm_ref = jnp.broadcast_to(stance, (horizon + 1, 2))
+    poly_A = jnp.tile(jnp.asarray(
+        [[1.0, 0], [-1.0, 0], [0, 1.0], [0, -1.0]], dtype), (horizon, 1, 1))
+    half = jnp.asarray([0.09, 0.09, 0.11, 0.11], dtype)
+    poly_b = jnp.broadcast_to(
+        jnp.asarray([stance[0], -stance[0], stance[1], -stance[1]],
+                    dtype) + half,
+        (horizon, 4),
+    )
+    config = StackConfig(mpc_dt=0.1, horizon=horizon, wbc_per_mpc=10,
+                         physics_per_wbc=40, mpc_iterations=60,
+                         wbc_iterations=250)
+    null_poses = {}
+    for f in HUMANOID_SOLE_FRAMES:
+        _, p0 = frame_pose(tree, poses, f)
+        null_poses[f] = (jnp.eye(3, dtype=dtype),
+                         p0 + jnp.asarray([0.0, 0.0, config.ground_sag],
+                                          dtype))
+    step = make_stack_step(tree, wbc, lipm, config, null_poses,
+                           q_ref=plant.joint_positions,
+                           com_height_ref=float(com[2]))
+    num_constraints = 2 * horizon + horizon * 4
+    state0 = init_stack(tree, lipm, config, plant, num_constraints)
+
+    # fleet: one StackState per scenario, each with its own push realization
+    state = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), state0)
+    rng = np.random.default_rng(0)
+    pushes = jnp.asarray(rng.uniform(-8.0, 8.0, (batch, 2)), dtype)
+
+    ticks = 5
+
+    @jax.jit
+    def run_ticks(state):
+        def body(s, _):
+            s2, tr = jax.vmap(
+                lambda st, p: step(st, p, dcm_ref, zmp_ref, poly_A, poly_b)
+            )(s, pushes)
+            return s2, tr
+        state, traces = jax.lax.scan(body, state, None, length=ticks)
+        last = jax.tree_util.tree_map(lambda a: a[-1], traces)
+        return state, last
+
+    t0 = time.perf_counter()
+    state, trace = run_ticks(state)
+    jax.block_until_ready(state.plant.base_position)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    state, trace = run_ticks(state)
+    jax.block_until_ready(state.plant.base_position)
+    elapsed = time.perf_counter() - t0
+
+    outer_tick_s = elapsed / ticks                    # wall per fleet tick
+    ticks_per_sec = batch / outer_tick_s              # outer ticks/s/chip
+    realtime_stacks = ticks_per_sec / 10.0            # 10 Hz outer rate
+    # a real-time target of 100 concurrent full stacks per chip (the fleet
+    # analogue of one 100 Hz controller per robot; no reference number
+    # exists — BASELINE.json configs[3] asks for the measurement)
+    bar = 100.0
+
+    finite = bool(jnp.all(jnp.isfinite(state.plant.base_position)))
+    print(json.dumps({
+        "metric": "stack_outer_ticks_per_sec_per_chip",
+        "value": round(ticks_per_sec, 2),
+        "unit": "ticks/s/chip",
+        "vs_baseline": round(realtime_stacks / bar, 3),
+        "detail": {
+            "batch": batch,
+            "realtime_stacks_per_chip": round(realtime_stacks, 1),
+            "fleet_tick_ms": round(outer_tick_s * 1e3, 2),
+            "inner_wbc_hz_equiv": round(10.0 * config.wbc_per_mpc
+                                        * realtime_stacks, 0),
+            "mpc_converged": int(jnp.sum(trace.mpc_converged)),
+            "wbc_converged": int(jnp.sum(trace.wbc_converged)),
+            "all_finite": finite,
+            "compile_s": round(compile_s, 1),
+            "config": {"horizon": horizon, "wbc_per_mpc": config.wbc_per_mpc,
+                       "physics_per_wbc": config.physics_per_wbc,
+                       "mpc_iterations": config.mpc_iterations,
+                       "wbc_iterations": config.wbc_iterations},
+            "device": str(jax.devices()[0]),
+            "dtype": "float32",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 512)

@@ -112,8 +112,9 @@ def rls_parallel(
     """All T posterior states in O(log T) depth.
 
     Returns ``(final_state, thetas)`` with ``thetas[t] == rls_scan``'s
-    trajectory entry t (numerically identical filters; tests assert ≤1e-5
-    in f32, ≤1e-10 in f64).
+    trajectory entry t (numerically identical filters;
+    ``tests/test_rls_parallel.py`` asserts ≤1e-7 in the f64 lane and ≤2e-4
+    in the f32 lane — both lanes run in CI).
     """
     leaves = rls_leaf_elements(params, regressors, measurements)
     Lam, b, w = jax.lax.associative_scan(rls_combine, leaves)
@@ -142,8 +143,8 @@ def rls_fit(
             jnp.zeros(batch + (p,), b.dtype),
             jnp.ones(batch, w.dtype))
     (Lam_T, b_T, w_T), _ = jax.lax.scan(red, acc0, (Lam, b, w))
-    # scan keeps it O(T) work / O(T) depth but fused; for long T prefer the
-    # log-depth tree below (identical result).
+    # scan keeps it O(T) work / O(T) depth but fused; for long T prefer
+    # rls_parallel's associative_scan (log depth, identical result).
     return _states_from_aggregates(state0, Lam_T, b_T, w_T)
 
 

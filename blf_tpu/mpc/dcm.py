@@ -219,17 +219,20 @@ def solve_dcm_mpc(
         [sol.x[..., 2 * N : 3 * N], sol.x[..., 3 * N :]], axis=-1
     )  # (…, N, 2)
 
-    # exact DCM rollout under the planned ZMP (cheap scan; independent of the
-    # QP's ξ iterate, so reported trajectories always satisfy the dynamics)
-    a = jnp.exp(lipm_omega(params) * jnp.asarray(dt, zmp.dtype))
-
-    def body(xi, z):
-        xi_next = a * xi + (1 - a) * z
-        return xi_next, xi_next
-
-    _, dcm_seq = jax.lax.scan(body, dcm0, jnp.moveaxis(zmp, -2, 0))
+    # DCM trajectory from the QP's own ξ decision variables: the dynamics
+    # equality rows pin them to the rollout within the solver residual. Do
+    # NOT re-roll ξ⁺ = a·ξ + (1−a)z forward — the DCM flow is unstable
+    # (a = e^{ω·dt} > 1), so over a long gait horizon that recursion
+    # amplifies dtype rounding by a^T (≈1e13 at T = 96, ω·dt ≈ 0.33; f32
+    # trajectories exploded to ±5e4 while the QP itself was converged —
+    # caught by the f32 test lane).
+    dcm_knots = jnp.stack(
+        [sol.x[..., 0:N], sol.x[..., N:2 * N]], axis=-1
+    )  # (…, N, 2) = ξ_{1..N}
     dcm_traj = jnp.concatenate(
-        [dcm0[..., None, :], jnp.moveaxis(dcm_seq, 0, -2)], axis=-2
+        [jnp.broadcast_to(dcm0[..., None, :], dcm_knots[..., :1, :].shape),
+         dcm_knots],
+        axis=-2,
     )
     com_traj = com_trajectory_from_dcm(params, com0, dcm_traj, zmp, dt)
     return DCMPlan(zmp=zmp, dcm=dcm_traj, com=com_traj, qp=sol)

@@ -102,8 +102,11 @@ def plan_time_varying_dcm(
     weights: DCMPlannerWeights = DCMPlannerWeights(),
     limits: DCMPlannerLimits = DCMPlannerLimits(),
     z_ground: float = 0.0,
-    sqp: SQPConfig = SQPConfig(iterations=10, al_iterations=4,
-                               penalty_init=100.0),
+    # AL ladder starts soft (10 → 1e5 over 5 rounds): a stiff start
+    # (penalty_init=100) diverges in f32 when the seed is far from feasible
+    # — the standard AL failure mode, caught by the f32 test lane.
+    sqp: SQPConfig = SQPConfig(iterations=10, al_iterations=5,
+                               penalty_init=10.0),
 ) -> DCMPlannerSolution:
     """Plan a (T-knot) time-varying DCM/ω/ZMP trajectory. Pure; vmap to batch."""
     dtype = zmp_ref.dtype

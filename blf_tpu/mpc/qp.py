@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["QPSolution", "SharedQPFactors", "solve_qp",
-           "solve_qp_shared", "factor_shared_qp", "solve_qp_factored"]
+           "solve_qp_shared", "factor_shared_qp", "solve_qp_factored",
+           "shard_factors_rows", "solve_qp_factored_rowsharded"]
 
 # TPU MXU defaults to bf16-accumulated matmuls for f32 inputs, which floors
 # ADMM residuals around 1e-3; all solver contractions force full f32 passes.
@@ -88,7 +89,7 @@ def solve_qp(
     alpha: float = 1.6,
     eps_abs: float = 1e-5,
     eps_rel: float = 1e-5,
-    rho_eq_scale: float = 1e3,
+    rho_eq_scale: Optional[float] = None,
     scaling_iters: int = 10,
     check_every: int = 25,
     x0: Optional[jnp.ndarray] = None,
@@ -105,11 +106,20 @@ def solve_qp(
     (OSQP's scaling): essential for one jitted solve to handle thousands of
     heterogeneously-conditioned scenarios (SURVEY.md §7 "batched QP
     robustness"). Residuals/solution are reported in the ORIGINAL scaling.
+
+    ``rho_eq_scale=None`` picks the equality-row stiffening by dtype: OSQP's
+    1e3 in f64, 30 in f32 — the KKT solve error grows with
+    ``cond(K) ∝ rho_eq_scale``, and at 1e3 the f32 dual residual floors
+    ~1e-1 absolute on reference-tracking problems (caught by the f32 test
+    lane; same reasoning as :func:`factor_shared_qp`). The per-stage
+    adaptive ρ recovers the equality enforcement a stiffer ρ would give.
     """
     P, q, A = jnp.asarray(P), jnp.asarray(q), jnp.asarray(A)
     l, u = jnp.asarray(l), jnp.asarray(u)
     n, m = P.shape[-1], A.shape[-2]
     dtype = P.dtype
+    if rho_eq_scale is None:
+        rho_eq_scale = 1e3 if jnp.finfo(dtype).bits >= 64 else 30.0
 
     # -- Ruiz equilibration: P̄ = c·D P D, Ā = E A D, q̄ = c·D q, l̄/ū = E l/u --
     P_orig, q_orig, A_orig = P, q, A
@@ -468,7 +478,7 @@ def solve_qp_factored(
     f = factors
     n, m = f.P_s.shape[-1], f.A_s.shape[-2]
     dtype = f.P_s.dtype
-    is_pallas = backend in ("pallas", "pallas_f32")
+    is_pallas = backend in ("pallas", "pallas_split", "pallas_f32")
     if refine and is_pallas:
         import warnings
 
@@ -533,23 +543,24 @@ def solve_qp_factored(
                 else _einsum("...n,nm->...m", tau, G2.T))
 
     use_pallas = (
-        backend in ("pallas", "pallas_f32")
+        backend in ("pallas", "pallas_split", "pallas_f32")
         and len(batch) == 1
         and batch[0] % 256 == 0
     )
+    if use_pallas:
+        matmul = {"pallas": "delta", "pallas_split": "split",
+                  "pallas_f32": "f32"}[backend]
+        return _solve_factored_pallas_t(
+            f, q_orig, qb, lb, ub, v, tau, s, gq, G2,
+            iterations=iterations, alpha=alpha, eps_abs=eps_abs,
+            eps_rel=eps_rel, check_every=check_every, matmul=matmul,
+            s_min=s_min, s_max=s_max, polish_iters=polish_iters,
+            polish_scale=polish_scale, effective_refine=effective_refine,
+        )
 
     def run_stage(v, tau, s, iters):
         rho_lane = s * f.base_rho                          # (batch, m)
         dinv = 1.0 / (1.0 + s * f.d)                       # (batch, n)
-
-        if use_pallas:
-            from blf_tpu.ops.pallas.admm import admm_stage
-
-            return admm_stage(
-                v, tau, s, gq, lb, ub, G2, f.d, f.base_rho,
-                iters=iters, alpha=alpha,
-                matmul=("f32" if backend == "pallas_f32" else "split"),
-            )
 
         def body(carry, _):
             v, tau = carry
@@ -650,3 +661,266 @@ def solve_qp_factored(
     objective = 0.5 * jnp.sum(x * Px, axis=-1) + jnp.sum(q_orig * x, axis=-1)
     return QPSolution(x, y, z, r_prim, r_dual, converged, objective,
                       rho_scale=s, refined=jnp.asarray(effective_refine))
+
+
+@_f32_matmuls
+def _solve_factored_pallas_t(
+    f: SharedQPFactors,
+    q_orig, qb, lb, ub, v, tau, s, gq, G2,
+    *,
+    iterations, alpha, eps_abs, eps_rel, check_every, matmul,
+    s_min, s_max, polish_iters, polish_scale, effective_refine,
+):
+    """Fused-kernel path of :func:`solve_qp_factored`, batch-minor layout.
+
+    All per-lane arrays are carried TRANSPOSED — ``(rows, B)`` with the
+    batch as the 128-wide lane dimension — across the whole stage scan, so
+    the layout conversion happens exactly once per solve (see the layout
+    discussion in :mod:`blf_tpu.ops.pallas.admm`). Stage-boundary residual
+    checks and ρ adaptation run the same math as the XLA path, transposed.
+    """
+    from blf_tpu.ops.pallas.admm import admm_stage_t
+
+    n, m = f.P_s.shape[-1], f.A_s.shape[-2]
+    A, P = f.A_s, f.P_s
+    B = v.shape[0]
+
+    # one-time layout conversion: every per-lane array becomes (rows, B)
+    vT = v.T
+    tauT = tau.T
+    sT = s.T                                         # (1, B)
+    gqT = gq.T                                       # (n, B)
+    lT = jnp.broadcast_to(lb.T, (m, B))
+    uT = jnp.broadcast_to(ub.T, (m, B))
+    qT = qb.T                                        # (n, B)
+    rho_col = f.base_rho[:, None]                    # (m, 1)
+
+    def run_stage(vT, tauT, sT, iters):
+        return admm_stage_t(
+            vT, tauT, sT, gqT, lT, uT, G2, f.d, f.base_rho,
+            iters=iters, alpha=alpha, matmul=matmul,
+        )
+
+    check_every = max(1, min(check_every, iterations))
+    n_stages = max(1, -(-iterations // check_every))
+
+    def stage(carry, _):
+        vT, tauT, sT = carry
+        vT, tauT = run_stage(vT, tauT, sT, check_every)
+        z = jnp.clip(vT, lT, uT)                     # (m, B)
+        y = (sT * rho_col) * (vT - z)
+        x = _einsum("nk,k...->n...", f.W, tauT)      # (n, B)
+        Ax = _einsum("mn,n...->m...", G2, tauT)
+        Px_ = _einsum("nk,k...->n...", P, x)
+        Aty_ = _einsum("nm,m...->n...", A.T, y)
+        rp = jnp.max(jnp.abs(Ax - z), axis=0) / jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Ax), 0), jnp.max(jnp.abs(z), 0)),
+            1e-12,
+        )
+        rd = jnp.max(jnp.abs(Px_ + qT + Aty_), axis=0) / jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Px_), 0),
+                        jnp.maximum(jnp.max(jnp.abs(Aty_), 0),
+                                    jnp.max(jnp.abs(qT), 0))), 1e-12
+        )
+        # OSQP per-lane ρ rule with hysteresis (see solve_qp_factored)
+        ratio = jnp.sqrt(rp / jnp.maximum(rd, 1e-12))[None, :]
+        move = (ratio > 5.0) | (ratio < 0.2)
+        s_new = jnp.where(move, jnp.clip(sT * ratio, s_min, s_max), sT)
+        vT = z + (sT / s_new) * (vT - z)
+        return (vT, tauT, s_new), None
+
+    (vT, tauT, sT), _ = jax.lax.scan(
+        stage, (vT, tauT, sT), None, length=n_stages
+    )
+
+    if polish_iters > 0:
+        # ρ-continuation dual polish — see solve_qp_factored's docstring
+        s_pol = jnp.clip(sT * jnp.asarray(polish_scale, vT.dtype),
+                         s_min, s_max)
+        z = jnp.clip(vT, lT, uT)
+        vT = z + (sT / s_pol) * (vT - z)
+        vT, tauT = run_stage(vT, tauT, s_pol, polish_iters)
+        rho_final = s_pol * rho_col
+    else:
+        rho_final = sT * rho_col
+
+    x = _einsum("nk,k...->n...", f.W, tauT)
+    z = jnp.clip(vT, lT, uT)
+    y = rho_final * (vT - z)
+
+    # -- unscale + diagnostics in the original problem, then restore layout --
+    x = f.D[:, None] * x
+    y = f.E[:, None] * y / f.c
+    z = z / f.E[:, None]
+    Ax = _einsum("mn,n...->m...", f.A_orig, x)
+    r_prim = jnp.max(jnp.abs(Ax - z), axis=0)
+    Px = _einsum("nk,k...->n...", f.P_orig, x)
+    Aty = _einsum("nm,m...->n...", f.A_orig.T, y)
+    qTo = q_orig.T if q_orig.ndim == 2 else q_orig[:, None]
+    r_dual = jnp.max(jnp.abs(Px + qTo + Aty), axis=0)
+    prim_tol = eps_abs + eps_rel * jnp.maximum(
+        jnp.max(jnp.abs(Ax), axis=0), jnp.max(jnp.abs(z), axis=0)
+    )
+    dual_tol = eps_abs + eps_rel * jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(Px), axis=0), jnp.max(jnp.abs(Aty), axis=0)),
+        jnp.max(jnp.abs(qTo), axis=0),
+    )
+    converged = (r_prim < prim_tol) & (r_dual < dual_tol)
+    objective = 0.5 * jnp.sum(x * Px, axis=0) + jnp.sum(qTo * x, axis=0)
+    return QPSolution(x.T, y.T, z.T, r_prim, r_dual, converged, objective,
+                      rho_scale=sT.T, refined=jnp.asarray(effective_refine))
+
+
+def shard_factors_rows(f: SharedQPFactors, index, num_shards: int):
+    """Row-block ``index`` of ``num_shards`` of a :class:`SharedQPFactors`.
+
+    Slices every m-indexed member (constraint rows); n-indexed members are
+    replicated. ``m`` must divide evenly — pad the transcription with
+    vacuous rows (``±inf`` bounds, zero A row) if it doesn't.
+    """
+    m = f.A_s.shape[-2]
+    if m % num_shards:
+        raise ValueError(f"m={m} not divisible by {num_shards} row shards")
+    blk = m // num_shards
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, index * blk, blk, axis=0)
+    return f._replace(
+        A_s=sl(f.A_s), A_orig=sl(f.A_orig), E=sl(f.E),
+        base_rho=sl(f.base_rho), G2=sl(f.G2 if f.G2 is not None
+                                       else f.A_s @ f.W),
+    )
+
+
+@_f32_matmuls
+def solve_qp_factored_rowsharded(
+    factors: SharedQPFactors,
+    q: jnp.ndarray,
+    l: jnp.ndarray,
+    u: jnp.ndarray,
+    *,
+    axis_name: str,
+    iterations: int = 200,
+    alpha: float = 1.6,
+    eps_abs: float = 1e-5,
+    eps_rel: float = 1e-5,
+    check_every: int = 25,
+    s0: Optional[jnp.ndarray] = None,
+    unroll: int = 1,
+) -> QPSolution:
+    """Tensor/model-parallel shared-factor ADMM: ONE solve's constraint
+    rows sharded over a mesh axis (SURVEY.md §2.3 TP row).
+
+    Call **inside** ``shard_map``: ``factors`` must be the LOCAL row block
+    (:func:`shard_factors_rows`), ``l``/``u`` the matching ``(…, m_local)``
+    slices; ``q`` is replicated. Per v-space iteration the only cross-device
+    traffic is ONE ``psum`` of the ``(…, n)`` partial contraction
+    ``w·G₂_local`` — the constraint-space iterates (z, y, v) never leave
+    their shard, so a transcription wider than one device's memory runs
+    across the axis at one (B, n)-collective per iteration of latency cost.
+    Use when ``m`` (contact/constraint count × horizon) outgrows a single
+    device; the single-device fused-kernel path is faster below that.
+
+    Returns a :class:`QPSolution` whose ``x``/residuals/``converged`` are
+    replicated across the axis and whose ``y``/``z`` are the local rows.
+    """
+    f = factors
+    n = f.P_s.shape[-1]
+    dtype = f.P_s.dtype
+    q = jnp.asarray(q)
+    l, u = jnp.asarray(l), jnp.asarray(u)
+    q_orig = q
+    m_loc = f.A_s.shape[-2]
+    batch = jnp.broadcast_shapes(q.shape[:-1], l.shape[:-1], u.shape[:-1])
+
+    A, P = f.A_s, f.P_s
+    q = f.c * (q * f.D)
+    l, u = f.E * l, f.E * u
+
+    s = jnp.broadcast_to(
+        jnp.ones((1,), dtype) if s0 is None else jnp.asarray(s0, dtype),
+        batch + (1,),
+    )
+    lb = jnp.broadcast_to(l, batch + (m_loc,))
+    ub = jnp.broadcast_to(u, batch + (m_loc,))
+    qb = jnp.broadcast_to(q, batch + (n,))
+    G2 = f.G2
+    gq = _einsum("...n,nk->...k", qb, f.W)
+
+    # cold start in v-space (x=0 ⇒ z=0, y=0 ⇒ v=0); warm starts would need
+    # row-sharded y/z plumbing — out of scope for the TP path
+    v = jnp.zeros(batch + (m_loc,), dtype) + 0.0 * (lb + ub) * 0.0
+    v = jnp.where(jnp.isnan(v), 0.0, v)   # ±inf bounds → 0·inf
+    tau = jnp.zeros(batch + (n,), dtype) + 0.0 * qb
+    s = s + 0.0 * (v[..., :1] + tau[..., :1])
+
+    def run_stage(v, tau, s, iters):
+        rho_lane = s * f.base_rho                           # (…, m_local)
+        dinv = 1.0 / (1.0 + s * f.d)                        # (…, n)
+
+        def body(carry, _):
+            v, tau = carry
+            z = jnp.clip(v, lb, ub)
+            w = rho_lane * (2.0 * z - v)
+            t_part = _einsum("...m,mn->...n", w, G2)
+            t = jax.lax.psum(t_part, axis_name) - gq        # the ONE collective
+            tau_next = t * dinv
+            v_next = v + alpha * (
+                _einsum("...n,nm->...m", tau_next, G2.T) - z
+            )
+            return (v_next, tau_next), None
+
+        (v, tau), _ = jax.lax.scan(body, (v, tau), None, length=iters,
+                                   unroll=unroll)
+        return v, tau
+
+    check_every = max(1, min(check_every, iterations))
+    n_stages = max(1, -(-iterations // check_every))
+
+    def stage(carry, _):
+        v, tau, s = carry
+        v, tau = run_stage(v, tau, s, check_every)
+        z = jnp.clip(v, lb, ub)
+        y = (s * f.base_rho) * (v - z)
+        x = _einsum("...k,nk->...n", tau, f.W)
+        Ax = _einsum("...n,nm->...m", tau, G2.T)
+        Px_ = _einsum("...m,nm->...n", x, P)
+        Aty_ = jax.lax.psum(_einsum("...m,nm->...n", y, A.T), axis_name)
+        pmax = lambda a: jax.lax.pmax(a, axis_name)
+        rp = pmax(jnp.max(jnp.abs(Ax - z), axis=-1)) / jnp.maximum(
+            pmax(jnp.maximum(jnp.max(jnp.abs(Ax), -1),
+                             jnp.max(jnp.abs(z), -1))), 1e-12)
+        rd = jnp.max(jnp.abs(Px_ + qb + Aty_), axis=-1) / jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Px_), -1),
+                        jnp.maximum(jnp.max(jnp.abs(Aty_), -1),
+                                    jnp.max(jnp.abs(qb), -1))), 1e-12)
+        ratio = jnp.sqrt(rp / jnp.maximum(rd, 1e-12))[..., None]
+        move = (ratio > 5.0) | (ratio < 0.2)
+        s_new = jnp.where(move, jnp.clip(ratio * s, 1e-4, 1e4), s)
+        v = z + (s / s_new) * (v - z)
+        return (v, tau, s_new), None
+
+    (v, tau, s), _ = jax.lax.scan(stage, (v, tau, s), None, length=n_stages)
+
+    x = _einsum("...k,nk->...n", tau, f.W)
+    z = jnp.clip(v, lb, ub)
+    y = (s * f.base_rho) * (v - z)
+
+    x = f.D * x
+    y = f.E * y / f.c
+    z = z / f.E
+    Ax = _einsum("...n,mn->...m", x, f.A_orig)
+    pmax = lambda a: jax.lax.pmax(a, axis_name)
+    r_prim = pmax(jnp.max(jnp.abs(Ax - z), axis=-1))
+    Px = _einsum("...m,nm->...n", x, f.P_orig)
+    Aty = jax.lax.psum(_einsum("...m,mn->...n", y, f.A_orig), axis_name)
+    r_dual = jnp.max(jnp.abs(Px + q_orig + Aty), axis=-1)
+    prim_tol = eps_abs + eps_rel * pmax(jnp.maximum(
+        jnp.max(jnp.abs(Ax), axis=-1), jnp.max(jnp.abs(z), axis=-1)))
+    dual_tol = eps_abs + eps_rel * jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(Px), axis=-1),
+                    jnp.max(jnp.abs(Aty), axis=-1)),
+        jnp.max(jnp.abs(q_orig), axis=-1),
+    )
+    converged = (r_prim < prim_tol) & (r_dual < dual_tol)
+    objective = 0.5 * jnp.sum(x * Px, axis=-1) + jnp.sum(q_orig * x, axis=-1)
+    return QPSolution(x, y, z, r_prim, r_dual, converged, objective,
+                      rho_scale=s, refined=jnp.asarray(False))

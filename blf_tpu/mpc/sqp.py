@@ -182,7 +182,14 @@ def solve_trajopt(
             stage_derivs, in_axes=(0, 0, 0, 0, None)
         )(xs[:-1], us, ks, mu, rho)
         VxT, VxxT = terminal_derivs(xs[-1], muT, rho)
-        reg = config.regularization * jnp.eye(nu, dtype=dtype)
+        # Levenberg term scaled with the AL penalty: the active-constraint
+        # block of Quu grows ∝ ρ, so an absolute regularizer vanishes
+        # relative to it on late AL rounds — in f32 that let cond(Quu) reach
+        # 1/eps and the gains blow up (seen as ω diverging on the DCM
+        # planner's stiff-start tests). A ρ-relative floor keeps the solve
+        # conditioned in both dtypes without biasing early rounds.
+        reg = (config.regularization * jnp.maximum(1.0, rho)
+               * jnp.eye(nu, dtype=dtype))
 
         def step(carry, inp):
             Vx, Vxx = carry

@@ -32,6 +32,7 @@ from blf_tpu.estimators.rls import RLSParams, RLSState, rls_step
 from blf_tpu.models.lipm import LIPMParams, com_discrete_step, lipm_omega
 from blf_tpu.mpc.dcm import DCMWeights, solve_dcm_mpc
 from blf_tpu.parallel.collectives import FleetStats, reduce_fleet_stats
+from blf_tpu.utils.status import SolverStatus, classify_qp, nan_quarantine
 
 __all__ = ["FleetState", "TickResult", "make_fleet_step", "init_fleet"]
 
@@ -52,6 +53,8 @@ class TickResult(NamedTuple):
     stats: FleetStats
     worst_margin: jnp.ndarray   # scalar: worst ensemble constraint margin
     consensus_zmp0: jnp.ndarray  # (B, 2) first-knot consensus plan
+    status: jnp.ndarray          # (B,) int32 per-lane SolverStatus
+    num_quarantined: jnp.ndarray  # scalar: NUMERICAL_ERROR lanes this tick
 
 
 def init_fleet(batch: int, horizon: int, num_constraints: int, dcm0, com0,
@@ -162,7 +165,32 @@ def make_fleet_step(
             offset_cov=est.covariance,
             warm_s=s_consensus,
         )
-        return new_state, TickResult(stats, worst, z0)
+
+        # failure detection as data (SURVEY.md §5): per-lane status codes
+        # carried in the batch, and NaN quarantine — a lane whose solve went
+        # non-finite restarts from its last-good (pre-tick) scenario state
+        # with cleared warm starts and a fresh estimator prior, instead of
+        # poisoning every subsequent warm-started tick.
+        # worst status across the disturbance ensemble (severity-ordered
+        # enum, so pmax = "any member failed ⇒ the scenario failed"), making
+        # the status model-invariant like the consensus state it guards
+        status = jax.lax.pmax(classify_qp(plans.qp), model_axis)
+        dtype = state.dcm.dtype
+        reset = FleetState(
+            dcm=state.dcm,
+            com=state.com,
+            warm_zmp=jnp.zeros_like(state.warm_zmp),
+            warm_y=jnp.zeros_like(state.warm_y),
+            offset_theta=jnp.zeros_like(state.offset_theta),
+            offset_cov=jnp.broadcast_to(
+                10.0 * jnp.eye(2, dtype=dtype), state.offset_cov.shape
+            ),
+            warm_s=jnp.ones_like(state.warm_s),
+        )
+        new_state = nan_quarantine(new_state, status, reset)
+        bad = (status == SolverStatus.NUMERICAL_ERROR)
+        num_bad = jax.lax.psum(jnp.sum(bad.astype(jnp.float32)), data_axis)
+        return new_state, TickResult(stats, worst, z0, status, num_bad)
 
     state_spec = FleetState(
         dcm=P(data_axis), com=P(data_axis), warm_zmp=P(data_axis),
@@ -173,6 +201,8 @@ def make_fleet_step(
         stats=FleetStats(P(), P(), P(), P(), P()),
         worst_margin=P(),
         consensus_zmp0=P(data_axis),
+        status=P(data_axis),
+        num_quarantined=P(),
     )
     # vma typing is kept for the XLA path; the Pallas in-kernel loop drops
     # varying-axis types from its carry (jax 0.9 pallas×shard_map gap), so

@@ -50,12 +50,21 @@ def halfspaces_from_points(points: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return A, b
 
 
-def point_in_halfspaces(A, b, point, tol: float = 1e-9):
+def point_in_halfspaces(A, b, point, tol=None):
     """Batched membership ``A p ≤ b (+tol)``
     (``ConvexHullHelper::doesPointBelongToConvexHull``,
     ``ConvexHullHelper.cpp:101-117``). Broadcasts over leading axes of
-    ``point``; returns bool array."""
+    ``point``; returns bool array.
+
+    ``tol=None`` (default) uses a dtype-scaled slack
+    ``64·eps·(1 + max|b|)`` so hull *vertices* stay members under the
+    active precision — in f32 a fixed absolute slack either rejects
+    boundary points (too tight) or admits interior violations (too loose).
+    """
     A, b, point = jnp.asarray(A), jnp.asarray(b), jnp.asarray(point)
+    if tol is None:
+        eps = jnp.finfo(jnp.result_type(A, b, point)).eps
+        tol = 64.0 * eps * (1.0 + jnp.max(jnp.abs(b)))
     margins = jnp.einsum("...fd,...d->...f", A, point) - b
     return jnp.all(margins <= tol, axis=-1)
 

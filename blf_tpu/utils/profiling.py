@@ -40,10 +40,15 @@ __all__ = [
     "CHIP_SPECS",
     "detect_chip",
     "measure",
+    "measure_chained",
     "cost_analysis",
     "roofline_seconds",
     "sol_report",
+    "sol_score",
     "trace",
+    "KernelCost",
+    "admm_stage_cost",
+    "foot_rollout_cost",
 ]
 
 
@@ -54,30 +59,137 @@ class ChipSpec:
     ``peak_flops_f32``/``peak_flops_bf16`` in FLOP/s, ``hbm_bytes_per_s`` in
     B/s. Public numbers (cloud.google.com/tpu/docs/system-architecture);
     f32 matmul on the MXU runs at half bf16 rate on all listed generations.
+    ``vpu_ops_per_s`` is the elementwise-unit ceiling used to score
+    VPU-heavy kernels; the v5e value is *measured on this project's own
+    pure-VPU rollout kernel* (see ``benchmarks/rollout_bench.py``), other
+    generations are scaled by peak-FLOP ratio (estimates, marked so).
     """
 
     name: str
     peak_flops_bf16: float
     peak_flops_f32: float
     hbm_bytes_per_s: float
+    vpu_ops_per_s: float = 0.0
 
     def peak_flops(self, dtype: str = "f32") -> float:
         return self.peak_flops_bf16 if dtype == "bf16" else self.peak_flops_f32
 
 
+def _vpu_est(peak_bf16: float) -> float:
+    # scaled from the v5e measurement below by bf16-peak ratio
+    return 4.2e12 * peak_bf16 / 197e12
+
+
 CHIP_SPECS: Dict[str, ChipSpec] = {
     # keyed by substrings of jax Device.device_kind
-    "v4": ChipSpec("TPU v4", 275e12, 137.5e12, 1228e9),
-    "v5 lite": ChipSpec("TPU v5e", 197e12, 98.5e12, 819e9),
-    "v5e": ChipSpec("TPU v5e", 197e12, 98.5e12, 819e9),
-    "v5p": ChipSpec("TPU v5p", 459e12, 229.5e12, 2765e9),
-    "v5": ChipSpec("TPU v5p", 459e12, 229.5e12, 2765e9),
-    "v6 lite": ChipSpec("TPU v6e", 918e12, 459e12, 1640e9),
-    "v6e": ChipSpec("TPU v6e", 918e12, 459e12, 1640e9),
+    "v4": ChipSpec("TPU v4", 275e12, 137.5e12, 1228e9, _vpu_est(275e12)),
+    "v5 lite": ChipSpec("TPU v5e", 197e12, 98.5e12, 819e9, 4.2e12),
+    "v5e": ChipSpec("TPU v5e", 197e12, 98.5e12, 819e9, 4.2e12),
+    "v5p": ChipSpec("TPU v5p", 459e12, 229.5e12, 2765e9, _vpu_est(459e12)),
+    "v5": ChipSpec("TPU v5p", 459e12, 229.5e12, 2765e9, _vpu_est(459e12)),
+    "v6 lite": ChipSpec("TPU v6e", 918e12, 459e12, 1640e9, _vpu_est(918e12)),
+    "v6e": ChipSpec("TPU v6e", 918e12, 459e12, 1640e9, _vpu_est(918e12)),
     # CPU fallback so SOL accounting degrades gracefully on the test mesh:
     # rough single-socket numbers, only used for relative comparisons.
-    "cpu": ChipSpec("host CPU", 1e12, 5e11, 5e10),
+    "cpu": ChipSpec("host CPU", 1e12, 5e11, 5e10, 2e11),
 }
+
+
+# ---------------------------------------------------------------------------
+# Hand-authored kernel cost models.
+#
+# XLA's ``Compiled.cost_analysis()`` reports 0 FLOPs for anything inside a
+# ``pallas_call`` (the custom call is opaque to the HLO cost model), so the
+# two kernels BASELINE.md's speed-of-light row actually cares about would
+# score 0% SOL through :func:`cost_analysis`. These models count the work by
+# hand from the kernel source, at three levels:
+#
+# - ``useful_flops``: algorithmically necessary FLOPs (what a perfect
+#   machine with no tile granularity would execute). "MXU utilization" in
+#   SOL.md = useful_flops / time / bf16-peak.
+# - ``mxu_flops``: FLOPs the MXU physically executes — operands padded to
+#   the (8-sublane × 128-lane) tile granularity, times the number of passes
+#   the precision mode performs. mxu_flops/peak is the honest compute-bound
+#   roofline for the chosen shapes+mode.
+# - ``vpu_ops``: elementwise ops on the 8×128 vector unit; on kernels whose
+#   operator dims sit far below 128 the VPU bound is comparable to the MXU
+#   bound and must be part of the roofline.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelCost:
+    """Hand-counted cost of one kernel invocation (see block comment)."""
+
+    useful_flops: float
+    mxu_flops: float
+    vpu_ops: float
+    bytes: float
+
+    def sol_seconds(self, spec: ChipSpec) -> float:
+        """Shape-adjusted speed-of-light: max of the three unit bounds."""
+        bounds = [
+            self.mxu_flops / spec.peak_flops_bf16 if spec.peak_flops_bf16 else 0.0,
+            self.vpu_ops / spec.vpu_ops_per_s if spec.vpu_ops_per_s else 0.0,
+            self.bytes / spec.hbm_bytes_per_s if spec.hbm_bytes_per_s else 0.0,
+        ]
+        return max(bounds)
+
+
+def _ceil_to(x: int, g: int) -> int:
+    return -(-x // g) * g
+
+
+def admm_stage_cost(B: int, m: int, n: int, iters: int,
+                    matmul: str = "delta", dtype_bytes: int = 4) -> KernelCost:
+    """Cost of one :func:`blf_tpu.ops.pallas.admm.admm_stage_t` call.
+
+    Counted from the kernel source (transposed layout, operator-on-the-left
+    GEMMs): per iteration two products ``(n×m)·(m×B)`` and ``(m×n)·(n×B)``
+    — useful 2·2·m·n·B FLOPs — padded on the contraction dim to 128 lanes
+    and on the operator rows to 8 sublanes. Passes per product: ``delta`` 2
+    (iteration 1: 3), ``split`` 3, ``f32`` 6.
+    """
+    useful = 2.0 * 2.0 * B * m * n * iters
+    pad1 = _ceil_to(n, 8) * _ceil_to(m, 128) * B       # t = Gᵀρ·ŵ, per pass
+    pad2 = _ceil_to(m, 8) * _ceil_to(n, 128) * B       # u = G₂·τ, per pass
+    passes = {"delta": 2.0, "split": 3.0, "f32": 6.0}[matmul]
+    mxu_macs = (pad1 + pad2) * passes * iters
+    if matmul == "delta" and iters >= 1:
+        mxu_macs += (pad1 + pad2) * 1.0                # 3-pass first iteration
+    # per-iteration elementwise work (kernel body): ~10 m-wide ops
+    # (clip 2, ŵ 2, Δŵ 1, bf16 cvt 1, u-accumulate 1, v-update 3) and
+    # ~7 n-wide (t-accumulate 2, τ 2, Δτ 1, cvt 1, spectral gain 1),
+    # + per-stage setup (sdinv, gqs, operator splits) ≈ 8 rows
+    vpu = (10.0 * m + 7.0 * n) * B * iters + 8.0 * (m + n) * B
+    # HBM: read v,τ,s,gq,l,u + operators, write v,τ (once per stage)
+    io = (3 * m + 2 * n + 1) * B + 2 * m * n
+    return KernelCost(
+        useful_flops=useful,
+        mxu_flops=2.0 * mxu_macs,
+        vpu_ops=vpu,
+        bytes=float(io * dtype_bytes),
+    )
+
+
+def foot_rollout_cost(B: int, steps: int, dtype_bytes: int = 4) -> KernelCost:
+    """Cost of one :func:`blf_tpu.ops.pallas.rollout.foot_rollout_fused` call.
+
+    Pure VPU kernel (per-lane 3×3 algebra unrolled componentwise, no MXU):
+    op count from the kernel body — wrench ~45, torque ~60, Newton–Euler
+    ~60, Baumgarte S⁻¹ adjugate ~70, Ṙ assembly ~90, Euler update ~36 —
+    ≈ 360 VPU ops per lane-step (counted to ±10%; the SOL fraction quoted
+    for this kernel inherits that uncertainty).
+    """
+    vpu = 360.0 * B * steps
+    useful = vpu  # every op is algorithmically necessary scalar work
+    io = (18 + 12 + 2) * B  # state in/out + null pose + per-lane coeffs
+    return KernelCost(
+        useful_flops=useful,
+        mxu_flops=0.0,
+        vpu_ops=vpu,
+        bytes=float(io * dtype_bytes),
+    )
 
 
 def detect_chip(device: Optional[jax.Device] = None) -> ChipSpec:
@@ -126,6 +238,104 @@ def measure(
     return samples[len(samples) // 2]
 
 
+def measure_chained(
+    step: Callable[[Any], Any],
+    init: Any,
+    *,
+    ticks: int = 10,
+    warmup: int = 1,
+    repeats: int = 3,
+) -> float:
+    """Seconds per application of ``step`` (carry → carry), scan-chained.
+
+    ``ticks`` data-dependent applications run inside ONE jit and the whole
+    chain is timed. This is the only honest way to time sub-millisecond
+    programs on this machine: per-call host dispatch crosses the axon
+    tunnel (~ms), and the relay memoizes executions whose input buffers are
+    unchanged — :func:`measure`'s repeat-the-same-call pattern can report
+    physically impossible times for cached dispatches. Chaining defeats
+    both (each tick's input is the previous tick's output).
+    """
+    run = jax.jit(lambda c: jax.lax.scan(
+        lambda c, _: (step(c), None), c, None, length=ticks)[0])
+    out = run(init)
+    for _ in range(max(warmup - 1, 0)):
+        out = run(out)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter()
+        out = run(init)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / ticks)
+    return best
+
+
+def sol_score(
+    time_s: float,
+    *,
+    label: str = "program",
+    dtype: str = "f32",
+    spec: Optional[ChipSpec] = None,
+    kernel_cost: Optional[KernelCost] = None,
+    flops: float = 0.0,
+    nbytes: float = 0.0,
+) -> Dict[str, Any]:
+    """Score an externally measured time against the chip roofline.
+
+    With ``kernel_cost`` (hand-counted, for pallas programs XLA can't see
+    into) the SOL bound is the max of padded-MXU / VPU / HBM unit bounds
+    and the report includes ``mxu_util`` — useful FLOPs / time / bf16-peak.
+    Otherwise pass XLA's ``flops``/``nbytes`` (see :func:`cost_analysis`).
+    """
+    spec = spec or detect_chip()
+    if kernel_cost is not None:
+        mxu_t = (kernel_cost.mxu_flops / spec.peak_flops_bf16
+                 if spec.peak_flops_bf16 else 0.0)
+        vpu_t = (kernel_cost.vpu_ops / spec.vpu_ops_per_s
+                 if spec.vpu_ops_per_s else 0.0)
+        mem_t = (kernel_cost.bytes / spec.hbm_bytes_per_s
+                 if spec.hbm_bytes_per_s else 0.0)
+        sol_t = max(mxu_t, vpu_t, mem_t)
+        bound = ("compute" if sol_t == mxu_t else
+                 "vpu" if sol_t == vpu_t else "memory")
+        return {
+            "label": label,
+            "chip": spec.name,
+            "dtype": dtype,
+            "time_s": time_s,
+            "flops": kernel_cost.useful_flops,
+            "bytes": kernel_cost.bytes,
+            "achieved_tflops": kernel_cost.useful_flops / time_s / 1e12,
+            "achieved_gbps": kernel_cost.bytes / time_s / 1e9,
+            "sol_time_s": sol_t,
+            "sol_frac": (sol_t / time_s) if sol_t > 0 else 0.0,
+            "mxu_util": (kernel_cost.useful_flops / time_s /
+                         spec.peak_flops_bf16 if spec.peak_flops_bf16 else 0.0),
+            "bound": bound,
+        }
+    sol_t = roofline_seconds(flops, nbytes, spec, dtype)
+    compute_t = flops / spec.peak_flops(dtype)
+    memory_t = nbytes / spec.hbm_bytes_per_s if spec.hbm_bytes_per_s else 0.0
+    if flops == 0.0 and nbytes == 0.0:
+        bound = "unknown"
+    else:
+        bound = "compute" if compute_t >= memory_t else "memory"
+    return {
+        "label": label,
+        "chip": spec.name,
+        "dtype": dtype,
+        "time_s": time_s,
+        "flops": flops,
+        "bytes": nbytes,
+        "achieved_tflops": flops / time_s / 1e12,
+        "achieved_gbps": nbytes / time_s / 1e9,
+        "sol_time_s": sol_t,
+        "sol_frac": (sol_t / time_s) if sol_t > 0 else 0.0,
+        "bound": bound,
+    }
+
+
 def cost_analysis(fn: Callable[..., Any], *args: Any) -> Dict[str, float]:
     """Post-fusion FLOPs / bytes accessed for ``jit(fn)(*args)`` from XLA.
 
@@ -162,39 +372,35 @@ def sol_report(
     warmup: int = 2,
     repeats: int = 5,
     inner: int = 1,
+    kernel_cost: Optional[KernelCost] = None,
 ) -> Dict[str, Any]:
     """Measure ``fn`` and score it against the chip roofline.
+
+    By default the FLOP/byte numerators come from XLA's post-fusion
+    ``cost_analysis`` — which reports **0 for pallas kernels** (custom calls
+    are opaque to the HLO cost model). Pass ``kernel_cost`` (a hand-counted
+    :class:`KernelCost`, e.g. :func:`admm_stage_cost`) to score such
+    programs: the SOL bound then becomes the max of the padded-MXU, VPU and
+    HBM unit bounds for the kernel's actual shapes, and the report gains
+    ``mxu_util`` — useful FLOPs / time / bf16-peak, the headline
+    "fraction of the chip's matmul ceiling doing algorithmically necessary
+    work" number BASELINE.md's speed-of-light row asks for.
 
     Returns a flat metrics dict (telemetry-friendly):
     ``time_s``, ``flops``, ``bytes``, ``achieved_tflops``, ``achieved_gbps``,
     ``sol_time_s``, ``sol_frac`` (measured speed-of-light fraction, 1.0 =
-    at the roofline), and ``bound`` ("compute" | "memory" | "unknown").
+    at the roofline), and ``bound`` ("compute" | "vpu" | "memory" |
+    "unknown").
     """
     spec = spec or detect_chip()
     jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
-    cost = cost_analysis(jitted, *args)
     t = measure(jitted, *args, warmup=warmup, repeats=repeats, inner=inner)
-    sol_t = roofline_seconds(cost["flops"], cost["bytes"], spec, dtype)
-    compute_t = cost["flops"] / spec.peak_flops(dtype)
-    memory_t = (cost["bytes"] / spec.hbm_bytes_per_s
-                if spec.hbm_bytes_per_s else 0.0)
-    if cost["flops"] == 0.0 and cost["bytes"] == 0.0:
-        bound = "unknown"
-    else:
-        bound = "compute" if compute_t >= memory_t else "memory"
-    return {
-        "label": label,
-        "chip": spec.name,
-        "dtype": dtype,
-        "time_s": t,
-        "flops": cost["flops"],
-        "bytes": cost["bytes"],
-        "achieved_tflops": cost["flops"] / t / 1e12,
-        "achieved_gbps": cost["bytes"] / t / 1e9,
-        "sol_time_s": sol_t,
-        "sol_frac": (sol_t / t) if sol_t > 0 else 0.0,
-        "bound": bound,
-    }
+    if kernel_cost is not None:
+        return sol_score(t, label=label, dtype=dtype, spec=spec,
+                         kernel_cost=kernel_cost)
+    cost = cost_analysis(jitted, *args)
+    return sol_score(t, label=label, dtype=dtype, spec=spec,
+                     flops=cost["flops"], nbytes=cost["bytes"])
 
 
 @contextlib.contextmanager
@@ -209,62 +415,98 @@ def trace(name: str):
 
 
 def _format_row(r: Dict[str, Any]) -> str:
-    return (f"{r['label']:<28} {r['time_s'] * 1e3:>9.3f} ms "
+    mxu = (f" MXU {100.0 * r['mxu_util']:>5.1f}%" if "mxu_util" in r else "")
+    return (f"{r['label']:<34} {r['time_s'] * 1e3:>9.3f} ms "
             f"{r['achieved_tflops']:>8.2f} TF/s {r['achieved_gbps']:>8.1f} GB/s "
-            f"SOL {100.0 * r['sol_frac']:>5.1f}% ({r['bound']})")
+            f"SOL {100.0 * r['sol_frac']:>5.1f}%{mxu} ({r['bound']})")
 
 
 def main() -> None:  # pragma: no cover - exercised on hardware
-    """SOL table for the framework's hot programs on the current backend."""
+    """SOL table for the framework's hot programs on the current backend.
+
+    Every row is timed with :func:`measure_chained` (data-dependent scan
+    inside one jit); pallas rows are scored with hand-counted
+    :class:`KernelCost` models since XLA reports 0 FLOPs for them.
+    Committed output: ``SOL.md`` at the repo root.
+    """
     import numpy as np
     import jax.numpy as jnp
 
     from blf_tpu.mpc.qp import factor_shared_qp, solve_qp_factored
     from blf_tpu.mpc.dcm import build_dcm_qp
     from blf_tpu.models.lipm import LIPMParams
+    from blf_tpu.ops.pallas.admm import admm_stage_t
 
     spec = detect_chip()
     print(f"chip: {spec.name}  peak {spec.peak_flops_bf16 / 1e12:.0f} TF/s "
-          f"bf16, {spec.hbm_bytes_per_s / 1e9:.0f} GB/s HBM")
+          f"bf16, {spec.hbm_bytes_per_s / 1e9:.0f} GB/s HBM, "
+          f"~{spec.vpu_ops_per_s / 1e12:.1f} T VPU op/s")
 
     dtype = jnp.float32
-    batch, horizon = 16384, 16
-    params = LIPMParams(jnp.asarray(0.9, dtype), jnp.asarray(9.81, dtype))
-    dt = 0.1
-    zmp_ref = jnp.zeros((horizon, 2), dtype)
-    dcm_ref = jnp.zeros((horizon + 1, 2), dtype)
-    poly_A = jnp.tile(jnp.asarray(
-        [[1.0, 0], [-1.0, 0], [0, 1.0], [0, -1.0]], dtype), (horizon, 1, 1))
-    poly_b = jnp.broadcast_to(jnp.asarray([0.1, 0.1, 0.06, 0.06], dtype),
-                              (horizon, 4))
-    P, qvec, A, l, u = build_dcm_qp(params, dt, jnp.zeros(2, dtype),
-                                    dcm_ref, zmp_ref, poly_A, poly_b)
-    n, m = P.shape[0], A.shape[0]
-    is_eq = jnp.arange(m) < 2 * horizon
-    factors = jax.jit(factor_shared_qp)(P, A, is_eq)
     rng = np.random.default_rng(0)
-    q_b = qvec + jnp.asarray(rng.normal(0, 0.01, (batch, n)), dtype)
-    l_b = jnp.broadcast_to(l, (batch, m))
-    u_b = jnp.broadcast_to(u, (batch, m))
-
     rows = []
-    rows.append(sol_report(
-        lambda Pm, Am: factor_shared_qp(Pm, Am, is_eq), P, A,
-        label="qp.factor_shared (1x)", inner=4))
+    iters = 50
 
-    solve = jax.jit(lambda q, lo, hi: jax.vmap(
-        lambda qq, ll, uu: solve_qp_factored(
-            factors, qq, ll, uu, iterations=50)
-    )(q, lo, hi))
-    rows.append(sol_report(
-        solve, q_b, l_b, u_b,
-        label=f"qp.solve_factored (B={batch})"))
+    for horizon, batch in ((16, 98304), (32, 49152)):
+        params = LIPMParams(jnp.asarray(0.9, dtype), jnp.asarray(9.81, dtype))
+        zmp_ref = jnp.zeros((horizon, 2), dtype)
+        dcm_ref = jnp.zeros((horizon + 1, 2), dtype)
+        poly_A = jnp.tile(jnp.asarray(
+            [[1.0, 0], [-1.0, 0], [0, 1.0], [0, -1.0]], dtype),
+            (horizon, 1, 1))
+        poly_b = jnp.broadcast_to(jnp.asarray([0.1, 0.1, 0.06, 0.06], dtype),
+                                  (horizon, 4))
+        P, qvec, A, l, u = build_dcm_qp(params, 0.1, jnp.zeros(2, dtype),
+                                        dcm_ref, zmp_ref, poly_A, poly_b)
+        n, m = P.shape[0], A.shape[0]
+        is_eq = jnp.arange(m) < 2 * horizon
+        factors = jax.jit(factor_shared_qp)(P, A, is_eq)
+        q_b = qvec + jnp.asarray(rng.normal(0, 0.01, (batch, n)), dtype)
+        l_b = jnp.broadcast_to(l, (batch, m))
+        u_b = jnp.broadcast_to(u, (batch, m))
+
+        if horizon == 16:
+            ca = cost_analysis(lambda Pm: factor_shared_qp(Pm, A, is_eq), P)
+            t = measure_chained(
+                lambda Pm: factor_shared_qp(Pm, A, is_eq).P_s * 0 + Pm, P,
+                ticks=4)
+            rows.append(sol_score(t, label="qp.factor_shared (1x)",
+                                  flops=ca["flops"], nbytes=ca["bytes"]))
+
+        # the fused stage kernel — the BASELINE "QP factorization/iteration"
+        # hot op — one 50-iteration stage per tick, matmul modes compared
+        vT = jnp.asarray(rng.normal(0, 0.01, (m, batch)), dtype)
+        tT = jnp.zeros((n, batch), dtype)
+        sT = jnp.ones((1, batch), dtype)
+        gqT = jnp.asarray(rng.normal(0, 0.01, (n, batch)), dtype)
+        lT, uT = jnp.asarray(l_b.T), jnp.asarray(u_b.T)
+        for mode in ("delta", "split"):
+            step = lambda c, mode=mode: admm_stage_t(
+                c[0], c[1], sT, gqT, lT, uT, factors.G2, factors.d,
+                factors.base_rho, iters=iters, alpha=1.6, matmul=mode)
+            t = measure_chained(step, (vT, tT), ticks=10)
+            rows.append(sol_score(
+                t, label=f"admm_stage_t[{mode}] h={horizon} B={batch}",
+                kernel_cost=admm_stage_cost(batch, m, n, iters, mode)))
+
+        # the full factored solve (stage boundaries + diagnostics included;
+        # SOL numerator stays the kernel work, so the gap to the kernel row
+        # is the boundary overhead)
+        def solve_step(q):
+            sol = solve_qp_factored(factors, q, l_b, u_b,
+                                    iterations=iters, backend="pallas")
+            return q + 1e-30 * sol.x
+        t = measure_chained(solve_step, q_b, ticks=10)
+        rows.append(sol_score(
+            t, label=f"qp.solve_factored[pallas] h={horizon} B={batch}",
+            kernel_cost=admm_stage_cost(batch, m, n, iters, "delta")))
 
     # the other BASELINE hot kernel: the contact-dynamics rollout
     from blf_tpu.models.contact import ContactParams
     from blf_tpu.models.foot import FootParams, FootState, foot_rollout
     from blf_tpu.ops.lie import so3_exp
 
+    batch, steps = 16384, 200
     cparams = ContactParams(
         length=jnp.asarray(0.2, dtype), width=jnp.asarray(0.1, dtype),
         spring_coeff=jnp.asarray(2e5, dtype),
@@ -281,10 +523,19 @@ def main() -> None:  # pragma: no cover - exercised on hardware
     p0 = jnp.zeros((batch, 3), dtype)
     R0 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (batch, 3, 3))
     for be in ("xla", "pallas"):
-        rows.append(sol_report(
-            jax.jit(lambda s, be=be: foot_rollout(
-                cparams, fparams, s, p0, R0, dt=1e-3, steps=200, backend=be)),
-            fs, label=f"foot_rollout[{be}] (B={batch})"))
+        step = lambda s, be=be: foot_rollout(
+            cparams, fparams, s, p0, R0, dt=1e-3, steps=steps, backend=be)
+        if be == "xla":
+            ca = cost_analysis(step, fs)
+            t = measure_chained(step, fs, ticks=5)
+            rows.append(sol_score(
+                t, label=f"foot_rollout[xla] (B={batch})",
+                flops=ca["flops"], nbytes=ca["bytes"]))
+        else:
+            t = measure_chained(step, fs, ticks=5)
+            rows.append(sol_score(
+                t, label=f"foot_rollout[pallas] (B={batch})",
+                kernel_cost=foot_rollout_cost(batch, steps)))
 
     for r in rows:
         print(_format_row(r))

@@ -44,14 +44,19 @@ def classify_qp(qp_solution) -> jnp.ndarray:
 def nan_quarantine(state_tree, status: jnp.ndarray, reset_tree):
     """Replace NaN lanes with reset values (SURVEY.md §5 "NaN quarantine per
     lane"): lanes flagged NUMERICAL_ERROR restart from ``reset_tree`` instead
-    of poisoning subsequent ticks."""
+    of poisoning subsequent ticks. The reset itself is sanitized (non-finite
+    reset entries become 0) so quarantine always produces a finite lane even
+    when the last-good state was already poisoned."""
     import jax
 
     bad = (status == SolverStatus.NUMERICAL_ERROR)
 
     def fix(cur, rst):
         mask = bad.reshape(bad.shape + (1,) * (cur.ndim - bad.ndim))
-        return jnp.where(mask, jnp.broadcast_to(rst, cur.shape), cur)
+        rst = jnp.broadcast_to(rst, cur.shape)
+        if jnp.issubdtype(rst.dtype, jnp.floating):
+            rst = jnp.where(jnp.isfinite(rst), rst, jnp.zeros_like(rst))
+        return jnp.where(mask, rst, cur)
 
     return jax.tree_util.tree_map(fix, state_tree, reset_tree)
 

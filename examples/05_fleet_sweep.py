@@ -3,7 +3,12 @@
 The production fleet tick: a mesh-sharded batch of DCM-MPC scenarios
 (disturbance-ensemble axis + data axis), warm-started batched QP solve,
 collective reduction of solver statistics, state advance, and per-lane RLS
-disturbance estimation — one jitted shard_map program per tick.
+disturbance estimation — one jitted shard_map program per tick. The
+auxiliary subsystems ride along the way SURVEY.md §5 prescribes: per-lane
+``SolverStatus`` codes + NaN quarantine (carried in ``TickResult``), a
+``TelemetryStream`` publishing one JSONL record per tick (single
+device→host transfer), and a mid-run checkpoint that is reloaded and
+verified to continue **bitwise** identically.
 
 On TPU this is the bench.py workload (98304 lanes/chip); on CPU it runs a
 miniature fleet over 8 virtual devices:
@@ -63,12 +68,50 @@ def main():
     step = make_fleet_step(mesh, params, 0.1, iterations=50, backend=backend)
     print(f"mesh {mesh.devices.shape} {mesh.axis_names}, fleet {batch} "
           f"scenarios, backend={backend}")
-    for tick in range(5):
-        state, result = step(state, dist, dcm_ref, zmp_ref, poly_A, poly_b)
-        s = result.stats
-        print(f"tick {tick}: converged {int(s.num_converged)}/{batch}  "
-              f"max rp {float(s.max_primal_residual):.2e}  "
-              f"worst hull margin {float(result.worst_margin):+.4f}")
+
+    import tempfile
+
+    from blf_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+    from blf_tpu.utils.status import status_counts
+    from blf_tpu.utils.telemetry import TelemetryStream
+
+    telemetry = TelemetryStream(name="fleet_sweep")
+    ckpt_path = os.path.join(tempfile.mkdtemp(prefix="blf_ckpt_"), "fleet.npz")
+
+    def run(state, ticks, first_tick=0):
+        for tick in range(first_tick, first_tick + ticks):
+            state, result = step(state, dist, dcm_ref, zmp_ref, poly_A, poly_b)
+            s = result.stats
+            counts = status_counts(result.status)
+            telemetry.publish({
+                "converged": s.num_converged,
+                "max_primal_residual": s.max_primal_residual,
+                "max_dual_residual": s.max_dual_residual,
+                "worst_margin": result.worst_margin,
+                "quarantined": result.num_quarantined,
+            }, step=tick)
+            print(f"tick {tick}: converged {int(s.num_converged)}/{batch}  "
+                  f"max rp {float(s.max_primal_residual):.2e}  "
+                  f"worst hull margin {float(result.worst_margin):+.4f}  "
+                  f"status {counts}")
+        return state
+
+    # run 3 ticks, checkpoint, run 2 more
+    state = run(state, 3)
+    save_checkpoint(ckpt_path, state, step=3)
+    final = run(state, 2, first_tick=3)
+
+    # resume from the checkpoint: the continuation must be BITWISE identical
+    # (same jitted program, same inputs — restart-safe sweeps, SURVEY.md §5)
+    resumed = shard_batch(load_checkpoint(ckpt_path, state), mesh)
+    refinal = run(resumed, 2, first_tick=3)
+    same = all(
+        bool(jnp.all(a == b))
+        for a, b in zip(jax.tree_util.tree_leaves(final),
+                        jax.tree_util.tree_leaves(refinal))
+    )
+    print(f"checkpoint resume bitwise-identical: {same}")
+    assert same, "resumed sweep diverged from the original run"
 
 
 if __name__ == "__main__":

@@ -110,7 +110,7 @@ class TestDeviceHull:
         poly = monotone_chain_2d(jnp.asarray(pts))
         A, b = halfspaces_from_polygon(poly)
         # all input points inside (tol for the hull vertices themselves)
-        inside = point_in_halfspaces(A, b, jnp.asarray(pts), tol=1e-9)
+        inside = point_in_halfspaces(A, b, jnp.asarray(pts))
         assert bool(jnp.all(inside))
         assert not bool(point_in_halfspaces(A, b, jnp.array([5.0, 0.0])))
 

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from conftest import tol
+
 from blf_tpu.models.lipm import LIPMParams, lipm_omega
 from blf_tpu.planners.contacts import ContactPhaseList, lower_contact_schedule
 from blf_tpu.planners.gait import (
@@ -95,7 +97,7 @@ class TestFullGait:
         poly_A, poly_b = support_polygons(schedule)
         margins = np.einsum("kfa,ka->kf", np.asarray(poly_A),
                             np.asarray(plan.zmp)) - np.asarray(poly_b)
-        assert margins.max() <= 1e-5, margins.max()
+        assert margins.max() <= tol(1e-5, 5e-4), margins.max()
 
         # the DCM ends on the final double-support centroid
         np.testing.assert_allclose(

@@ -10,6 +10,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from conftest import tol
 from scipy.spatial.transform import Rotation as ScipyRot
 
 from blf_tpu.ops.integrators import integrate, rk4_step, forward_euler_step
@@ -67,7 +68,7 @@ class TestLinearSystem:
                 method=method, save_trajectory=True,
             )
             errs[method] = np.max(np.abs(np.asarray(traj) - self.closed_form(t)))
-        assert errs["rk4"] < errs["euler"] * 1e-3
+        assert errs["rk4"] < errs["euler"] * tol(1e-3, 0.05)
 
     def test_vmap_batch_equivalence(self):
         """A batch of scenarios must reproduce the per-lane solve bit-for-bit."""

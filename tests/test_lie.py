@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+from conftest import tol
 from scipy.spatial.transform import Rotation as ScipyRot
 
 from blf_tpu.ops import lie
@@ -22,29 +24,29 @@ class TestSkew:
         v = jnp.asarray(RNG.normal(size=(5, 3)))
         u = jnp.asarray(RNG.normal(size=(5, 3)))
         np.testing.assert_allclose(
-            np.einsum("bij,bj->bi", lie.skew(v), u), np.cross(v, u), atol=1e-12
+            np.einsum("bij,bj->bi", lie.skew(v), u), np.cross(v, u), atol=tol(1e-12, 1e-6)
         )
 
     def test_unskew_roundtrip(self):
         v = jnp.asarray(RNG.normal(size=(4, 3)))
-        np.testing.assert_allclose(lie.unskew(lie.skew(v)), v, atol=1e-12)
+        np.testing.assert_allclose(lie.unskew(lie.skew(v)), v, atol=tol(1e-12, 1e-6))
 
 
 class TestExpLog:
     def test_exp_matches_scipy(self):
         w = random_rotvecs(16)
         np.testing.assert_allclose(
-            lie.so3_exp(jnp.asarray(w)), ScipyRot.from_rotvec(w).as_matrix(), atol=1e-10
+            lie.so3_exp(jnp.asarray(w)), ScipyRot.from_rotvec(w).as_matrix(), atol=tol(1e-10, 1e-6)
         )
 
     def test_exp_small_angle(self):
         w = np.array([[1e-9, -2e-9, 3e-10], [0.0, 0.0, 0.0]])
         R = lie.so3_exp(jnp.asarray(w))
-        np.testing.assert_allclose(R, ScipyRot.from_rotvec(w).as_matrix(), atol=1e-12)
+        np.testing.assert_allclose(R, ScipyRot.from_rotvec(w).as_matrix(), atol=tol(1e-12, 1e-6))
 
     def test_log_roundtrip(self):
         w = random_rotvecs(16)
-        np.testing.assert_allclose(lie.so3_log(lie.so3_exp(jnp.asarray(w))), w, atol=1e-8)
+        np.testing.assert_allclose(lie.so3_log(lie.so3_exp(jnp.asarray(w))), w, atol=tol(1e-8, 1e-5))
 
     def test_exp_is_differentiable_at_zero(self):
         g = jax.jacobian(lambda w: lie.so3_exp(w))(jnp.zeros(3))
@@ -60,13 +62,13 @@ class TestRotationConversions:
         np.testing.assert_allclose(
             lie.rpy_to_rot(r, p, y),
             ScipyRot.from_euler("ZYX", [y, p, r]).as_matrix(),
-            atol=1e-12,
+            atol=tol(1e-12, 1e-6),
         )
 
     def test_quat_roundtrip(self):
         w = random_rotvecs(32)
         R = lie.so3_exp(jnp.asarray(w))
-        np.testing.assert_allclose(lie.quat_to_rot(lie.rot_to_quat(R)), R, atol=1e-9)
+        np.testing.assert_allclose(lie.quat_to_rot(lie.rot_to_quat(R)), R, atol=tol(1e-9, 1e-6))
 
 
 class TestBaumgarte:
@@ -77,7 +79,7 @@ class TestBaumgarte:
         np.testing.assert_allclose(
             lie.so3_baumgarte_rate(R, omega, rho=5.0),
             lie.rotation_rate_mixed(R, omega),
-            atol=1e-9,
+            atol=tol(1e-9, 1e-6),
         )
 
     def test_correction_restores_orthonormality(self):
@@ -99,9 +101,9 @@ class TestSE3:
         np.testing.assert_allclose(
             lie.se3_apply(Rc, pc, x),
             lie.se3_apply(Ra, pa, lie.se3_apply(Rb, pb, x)),
-            atol=1e-12,
+            atol=tol(1e-12, 1e-6),
         )
         Ri, pi = lie.se3_inverse(Ra, pa)
         np.testing.assert_allclose(
-            lie.se3_apply(Ri, pi, lie.se3_apply(Ra, pa, x)), x, atol=1e-12
+            lie.se3_apply(Ri, pi, lie.se3_apply(Ra, pa, x)), x, atol=tol(1e-12, 1e-6)
         )

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from conftest import tol
 from blf_tpu.ops.linalg import cholesky_small, solve_psd, solve_psd_small
 
 
@@ -26,7 +27,7 @@ class TestCholeskySmall:
         S = _random_psd(rng, (7,), m)
         L = cholesky_small(S)
         np.testing.assert_allclose(L, jnp.linalg.cholesky(S),
-                                   rtol=1e-10, atol=1e-12)
+                                   rtol=tol(1e-10, 1e-4), atol=tol(1e-12, 1e-5))
 
     def test_strict_upper_triangle_zero(self):
         rng = np.random.default_rng(0)
@@ -49,7 +50,7 @@ class TestSolvePsd:
         B = jnp.asarray(rng.normal(size=(5, 4, m, k)))
         np.testing.assert_allclose(solve_psd_small(S, B),
                                    jnp.linalg.solve(S, B),
-                                   rtol=1e-8, atol=1e-10)
+                                   rtol=tol(1e-8, 1e-4), atol=tol(1e-10, 1e-5))
 
     def test_vector_rhs_shape(self):
         rng = np.random.default_rng(1)
@@ -58,14 +59,14 @@ class TestSolvePsd:
         x = solve_psd_small(S, b)
         assert x.shape == (9, 3)
         np.testing.assert_allclose(
-            jnp.einsum("bij,bj->bi", S, x), b, rtol=1e-8, atol=1e-10)
+            jnp.einsum("bij,bj->bi", S, x), b, rtol=tol(1e-8, 1e-4), atol=tol(1e-10, 1e-5))
 
     def test_dispatch_large_m_falls_back(self):
         rng = np.random.default_rng(2)
         S = _random_psd(rng, (), 16)
         B = jnp.asarray(rng.normal(size=(16, 2)))
         np.testing.assert_allclose(solve_psd(S, B), jnp.linalg.solve(S, B),
-                                   rtol=1e-8, atol=1e-10)
+                                   rtol=tol(1e-8, 1e-4), atol=tol(1e-10, 1e-5))
 
     def test_jit_and_vmap_compose(self):
         rng = np.random.default_rng(3)
@@ -73,7 +74,7 @@ class TestSolvePsd:
         b = jnp.asarray(rng.normal(size=(64, 2)))
         x = jax.jit(jax.vmap(solve_psd))(S, b)
         np.testing.assert_allclose(
-            jnp.einsum("bij,bj->bi", S, x), b, rtol=1e-6, atol=1e-8)
+            jnp.einsum("bij,bj->bi", S, x), b, rtol=tol(1e-6, 1e-4), atol=tol(1e-8, 1e-5))
 
     def test_grad_flows(self):
         rng = np.random.default_rng(4)
@@ -82,7 +83,7 @@ class TestSolvePsd:
 
         g = jax.grad(lambda bb: solve_psd_small(S, bb).sum())(b)
         g_ref = jax.grad(lambda bb: jnp.linalg.solve(S, bb[:, None]).sum())(b)
-        np.testing.assert_allclose(g, g_ref, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(g, g_ref, rtol=tol(1e-8, 1e-4), atol=tol(1e-10, 1e-5))
 
 
 class TestRLSUsesFastPath:
@@ -107,4 +108,4 @@ class TestRLSUsesFastPath:
         innov = np.asarray(y) - np.einsum("bmp,bp->bm", np.asarray(A),
                                           np.asarray(theta))
         theta_ref = np.asarray(theta) + np.einsum("bpm,bm->bp", K, innov)
-        np.testing.assert_allclose(out.theta, theta_ref, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(out.theta, theta_ref, rtol=tol(1e-8, 1e-4), atol=tol(1e-10, 1e-5))

@@ -1,9 +1,13 @@
 """Pallas fused-ADMM-stage kernel tests (interpret mode on CPU).
 
 The kernel implements the spectral per-lane-ρ stage of
-``solve_qp_factored``; ``pallas_f32`` must reproduce the XLA stage math
-exactly (same op order, same precision), while the default ``pallas``
-(split-f32 3-pass matmuls) is held to solution-quality parity.
+``solve_qp_factored`` in the transposed (batch-minor) layout, with the
+structural ρ folded into the left operator and the per-lane ``s`` hoisted
+into the spectral gain (see ``blf_tpu/ops/pallas/admm.py``). ``pallas_f32``
+runs the same math as the XLA stage at f32 but with that different
+evaluation order, so it is held to ~1e-5 solution agreement (not bit
+identity); ``pallas`` (delta-form 2-pass accumulation) and ``pallas_split``
+(3-pass split-f32) are held to solution-quality parity.
 """
 
 import jax
@@ -36,26 +40,31 @@ def fleet_problem(B=256):
 
 class TestPallasBackend:
     def test_f32_mode_matches_xla_backend(self):
-        """6-pass f32 kernel must reproduce the XLA stage math exactly
-        (interpret mode is bit-identical; on TPU the orders differ ~1e-6).
-        The kernel never refines, so compare against the unrefined XLA path
-        (refine=True is the XLA-only robustness default)."""
+        """6-pass f32 kernel runs the XLA stage math with ρ folded into the
+        operator and s hoisted into the spectral gain — same fixed point,
+        different rounding order, so ~1e-5 agreement (measured 3e-7 on the
+        horizon-16 fleet). The kernel never refines, so compare against the
+        unrefined XLA path (refine=True is the XLA-only robustness
+        default)."""
         P, q, A, l, u = fleet_problem()
         sx = solve_qp_shared(P, q, A, l, u, iterations=100, refine=False)
         sp = solve_qp_shared(P, q, A, l, u, iterations=100,
                              backend="pallas_f32")
-        tol = 0.0 if jax.default_backend() == "cpu" else 1e-5
-        np.testing.assert_allclose(np.asarray(sp.x), np.asarray(sx.x), atol=tol)
-        assert int(sp.converged.sum()) == int(sx.converged.sum())
+        np.testing.assert_allclose(np.asarray(sp.x), np.asarray(sx.x),
+                                   atol=1e-5)
+        assert abs(int(sp.converged.sum()) - int(sx.converged.sum())) <= 2
 
-    def test_split_mode_solution_quality(self):
-        """3-pass split-f32 is a LOOSE-tolerance mode: its ~2⁻¹⁷ product
-        noise floors residuals near 1e-5, so it is held to the 1e-4 contract
-        (at 1e-5 it demonstrably stalls — that is why f32 is the default)."""
+    @pytest.mark.parametrize("backend", ["pallas", "pallas_split"])
+    def test_reduced_precision_modes_solution_quality(self, backend):
+        """'pallas' (delta-form 2-pass) and 'pallas_split' (3-pass split-f32)
+        are loose-tolerance modes: product noise ≲2⁻¹⁷ floors residuals near
+        1e-5, so they are held to the 1e-4 contract (at 1e-5 split
+        demonstrably stalls — that is why f32/refined-XLA are the accuracy
+        defaults)."""
         P, q, A, l, u = fleet_problem()
         eps = dict(eps_abs=1e-4, eps_rel=1e-4)
         sx = solve_qp_shared(P, q, A, l, u, iterations=150, **eps)
-        sp = solve_qp_shared(P, q, A, l, u, iterations=150, backend="pallas",
+        sp = solve_qp_shared(P, q, A, l, u, iterations=150, backend=backend,
                              **eps)
         assert int(sp.converged.sum()) >= int(sx.converged.sum()) - 25
         # solutions agree wherever both lanes converged (unconverged lanes
@@ -63,6 +72,24 @@ class TestPallasBackend:
         both = np.asarray(sp.converged & sx.converged)
         np.testing.assert_allclose(np.asarray(sp.x)[both],
                                    np.asarray(sx.x)[both], atol=5e-4)
+
+    def test_delta_mode_warm_start_floor(self):
+        """Delta-form accumulation must not lose accuracy on the production
+        pattern (warm-started receding-horizon resolve): starting from the
+        refined XLA solution, 50 delta iterations must stay at the solved
+        fixed point (the increment-rounding bias resets each stage and is
+        bounded by the entering residual — module docstring)."""
+        P, q, A, l, u = fleet_problem()
+        ref = solve_qp_shared(P, q, A, l, u, iterations=200, refine=False)
+        warm = solve_qp_shared(P, q, A, l, u, iterations=50, backend="pallas",
+                               x0=ref.x, y0=ref.y, s0=ref.rho_scale)
+        # only lanes the reference actually solved pin a fixed point; the
+        # few unconverged ill lanes keep moving under EVERY backend
+        conv = np.asarray(ref.converged)
+        assert conv.sum() >= 250
+        np.testing.assert_allclose(np.asarray(warm.x)[conv],
+                                   np.asarray(ref.x)[conv], atol=2e-5)
+        assert int(warm.converged[conv].sum()) >= int(conv.sum()) - 2
 
     def test_falls_back_when_batch_not_divisible(self):
         """Non-256-divisible batches silently use the XLA path."""

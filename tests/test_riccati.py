@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from conftest import tol
+
 from blf_tpu.mpc.riccati import solve_lqr, solve_lqr_sharded
 
 RNG = np.random.default_rng(0)
@@ -90,7 +92,7 @@ class TestSequential:
         g = G.T @ Qbig @ xb
         u_ref = np.linalg.solve(H, -g)
         np.testing.assert_allclose(
-            np.asarray(sol.controls).ravel(), u_ref, atol=1e-8
+            np.asarray(sol.controls).ravel(), u_ref, atol=tol(1e-8, 3e-4)
         )
 
 
@@ -102,17 +104,17 @@ class TestParallel:
         par = solve_lqr(*prob, parallel=True)
         np.testing.assert_allclose(
             np.asarray(par.value_matrices), np.asarray(seq.value_matrices),
-            atol=1e-8,
+            atol=tol(1e-8, 3e-4),
         )
         np.testing.assert_allclose(
             np.asarray(par.value_vectors), np.asarray(seq.value_vectors),
-            atol=1e-8,
+            atol=tol(1e-8, 3e-4),
         )
         np.testing.assert_allclose(
-            np.asarray(par.gains), np.asarray(seq.gains), atol=1e-8
+            np.asarray(par.gains), np.asarray(seq.gains), atol=tol(1e-8, 3e-4)
         )
         np.testing.assert_allclose(
-            np.asarray(par.controls), np.asarray(seq.controls), atol=1e-8
+            np.asarray(par.controls), np.asarray(seq.controls), atol=tol(1e-8, 3e-4)
         )
 
     def test_jit_and_vmap(self):
@@ -124,7 +126,7 @@ class TestParallel:
         assert sols.controls.shape == (8, 16, 2)
         solo = solve_lqr(*prob[:-1], x0s[5], parallel=True)
         np.testing.assert_allclose(
-            np.asarray(sols.controls[5]), np.asarray(solo.controls), atol=1e-10
+            np.asarray(sols.controls[5]), np.asarray(solo.controls), atol=tol(1e-10, 3e-4)
         )
 
 
@@ -144,13 +146,13 @@ class TestSharded:
         ref = solve_lqr(*prob)
         mesh = self._mesh(n_shards)
         sol = solve_lqr_sharded(*prob, mesh, "seq")
-        np.testing.assert_allclose(sol.gains, ref.gains, atol=1e-8)
+        np.testing.assert_allclose(sol.gains, ref.gains, atol=tol(1e-8, 3e-4))
         np.testing.assert_allclose(sol.feedforward, ref.feedforward,
-                                   atol=1e-8)
+                                   atol=tol(1e-8, 3e-4))
         np.testing.assert_allclose(sol.value_matrices, ref.value_matrices,
-                                   rtol=1e-8, atol=1e-8)
-        np.testing.assert_allclose(sol.states, ref.states, atol=1e-8)
-        np.testing.assert_allclose(sol.controls, ref.controls, atol=1e-8)
+                                   rtol=tol(1e-8, 3e-4), atol=tol(1e-8, 3e-4))
+        np.testing.assert_allclose(sol.states, ref.states, atol=tol(1e-8, 3e-4))
+        np.testing.assert_allclose(sol.controls, ref.controls, atol=tol(1e-8, 3e-4))
 
     def test_jit_and_horizon_not_divisible(self):
         mesh = self._mesh(4)
@@ -159,7 +161,7 @@ class TestSharded:
             lambda *a: solve_lqr_sharded(*a, mesh, "seq").controls
         )
         ref = solve_lqr(*prob)
-        np.testing.assert_allclose(jitted(*prob), ref.controls, atol=1e-8)
+        np.testing.assert_allclose(jitted(*prob), ref.controls, atol=tol(1e-8, 3e-4))
         bad = random_lqr(T=18, nx=3, nu=2, rng=np.random.default_rng(10))
         with pytest.raises(ValueError, match="not divisible"):
             solve_lqr_sharded(*bad, mesh, "seq")

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from conftest import tol
+
 from blf_tpu.models import rigid_body as rb
 from blf_tpu.models.kinematics import (
     JointType,
@@ -68,7 +70,7 @@ class TestSingleBody:
         expected = np.zeros((6, 6))
         expected[:3, :3] = 2.5 * np.eye(3)
         expected[3:, 3:] = np.diag([0.1, 0.2, 0.3])
-        np.testing.assert_allclose(np.asarray(M), expected, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(M), expected, atol=tol(1e-12, 1e-5))
 
     def test_free_fall(self):
         tree = single_body()
@@ -78,7 +80,7 @@ class TestSingleBody:
         inp = rb.FloatingBaseInput(jnp.zeros(0), {})
         d = rb.floating_base_dynamics(tree, state, inp)
         np.testing.assert_allclose(
-            np.asarray(d.base_twist), [0, 0, -9.81, 0, 0, 0], atol=1e-12
+            np.asarray(d.base_twist), [0, 0, -9.81, 0, 0, 0], atol=tol(1e-12, 1e-5)
         )
 
     def test_euler_equations_free_rotation(self):
@@ -125,7 +127,7 @@ class TestSingleBody:
         rhs = np.concatenate([[0, 0, 2.0 * -9.81],
                               np.cross([0.1, 0, 0], [0, 0, 2.0 * -9.81])])
         np.testing.assert_allclose(
-            np.asarray(M) @ np.asarray(d.base_twist), rhs, atol=1e-10
+            np.asarray(M) @ np.asarray(d.base_twist), rhs, atol=tol(1e-10, 1e-5)
         )
 
 
@@ -136,7 +138,7 @@ class TestMassMatrix:
         M = np.asarray(
             rb.mass_matrix(tree, s.base_position, s.base_rotation, s.joint_positions)
         )
-        np.testing.assert_allclose(M, M.T, atol=1e-12)
+        np.testing.assert_allclose(M, M.T, atol=tol(1e-12, 1e-5))
         assert np.all(np.linalg.eigvalsh(M) > 0)
 
     def test_kinetic_energy_invariant_to_representation(self):
@@ -155,7 +157,7 @@ class TestMassMatrix:
         v2 = Rd @ s.base_twist[:3] + jnp.cross(Rd @ jnp.zeros(3), p2)  # ω_d = 0
         nu2 = jnp.concatenate([v2, Rd @ s.base_twist[3:], s.joint_velocities])
         ke2 = rb.kinetic_energy(tree, p2, R2, s.joint_positions, nu2)
-        np.testing.assert_allclose(float(ke1), float(ke2), rtol=1e-10)
+        np.testing.assert_allclose(float(ke1), float(ke2), rtol=tol(1e-10, 1e-5))
 
 
 class TestJacobians:
@@ -180,11 +182,11 @@ class TestJacobians:
         poses = forward_kinematics(tree, s.base_position, s.base_rotation,
                                    s.joint_positions)
         v = frame_jacobian(tree, poses, "ee") @ nu
-        np.testing.assert_allclose(np.asarray(v[:3]), np.asarray(p_dot), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(v[:3]), np.asarray(p_dot), atol=tol(1e-10, 1e-5))
         # angular: Ṙ = ω̂ R  ⇒  ω̂ = Ṙ Rᵀ
         omega_hat = R_dot @ R.T
         np.testing.assert_allclose(
-            np.asarray(skew(v[3:])), np.asarray(omega_hat), atol=1e-10
+            np.asarray(skew(v[3:])), np.asarray(omega_hat), atol=tol(1e-10, 1e-5)
         )
 
 
@@ -221,7 +223,7 @@ class TestBiasForces:
         # our engine: τ = M q̈ + h (base clamped)
         h = rb.bias_forces(tree, bp, bR, q, jnp.zeros(6), qdot)
         tau_ne = Mjj(q) @ qddot + h[6:]
-        np.testing.assert_allclose(np.asarray(tau_ne), np.asarray(tau_el), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(tau_ne), np.asarray(tau_el), atol=tol(1e-9, 1e-5))
 
     def test_gravity_part_matches(self):
         tree = three_link_chain()
@@ -231,7 +233,7 @@ class TestBiasForces:
         h0 = rb.bias_forces(tree, s.base_position, s.base_rotation,
                             s.joint_positions, jnp.zeros(6),
                             jnp.zeros(tree.num_dofs))
-        np.testing.assert_allclose(np.asarray(G), np.asarray(h0), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(G), np.asarray(h0), atol=tol(1e-12, 1e-5))
 
 
 class TestConservation:
@@ -259,8 +261,8 @@ class TestConservation:
 
         mom0, ke0 = invariants(s0)
         mom1, ke1 = invariants(final)
-        np.testing.assert_allclose(mom1, mom0, atol=1e-6)
-        np.testing.assert_allclose(ke1, ke0, rtol=1e-6)
+        np.testing.assert_allclose(mom1, mom0, atol=tol(1e-6, 1e-3))
+        np.testing.assert_allclose(ke1, ke0, rtol=tol(1e-6, 1e-3))
 
     def test_linear_momentum_rate_under_gravity(self):
         tree = three_link_chain()
@@ -275,7 +277,7 @@ class TestConservation:
         d = rb.floating_base_dynamics(tree, s, inp)
         _, mom_dot = jax.jvp(momentum, (s,), (d,))
         np.testing.assert_allclose(
-            np.asarray(mom_dot), tree.total_mass * np.array([0, 0, -9.81]), atol=1e-8
+            np.asarray(mom_dot), tree.total_mass * np.array([0, 0, -9.81]), atol=tol(1e-8, 1e-4)
         )
 
 
@@ -302,7 +304,7 @@ class TestContactInjection:
             [np.asarray(w[:3]), np.asarray(w[3:]) + np.cross(np.asarray(p_ee),
                                                              np.asarray(w[:3]))]
         )
-        np.testing.assert_allclose(np.asarray(mom_dot), expected, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(mom_dot), expected, atol=tol(1e-8, 1e-4))
 
     def test_mass_matrix_regularization(self):
         tree = three_link_chain()
@@ -327,7 +329,7 @@ class TestBatching:
         )(batch)
         solo = rb.floating_base_dynamics(tree, states[2], inp)
         np.testing.assert_allclose(
-            np.asarray(batched.base_twist[2]), np.asarray(solo.base_twist), atol=1e-12
+            np.asarray(batched.base_twist[2]), np.asarray(solo.base_twist), atol=tol(1e-12, 1e-5)
         )
 
 

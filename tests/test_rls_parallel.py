@@ -11,6 +11,7 @@ over a mesh axis.
 import jax
 import jax.numpy as jnp
 import numpy as np
+from conftest import tol
 from jax.sharding import Mesh
 
 from blf_tpu.estimators.rls import RLSParams, RLSState, rls_scan
@@ -40,18 +41,18 @@ class TestEquivalence:
         final_par, thetas_par = jax.jit(
             lambda s: rls_parallel(params, s, A, y)
         )(s0)
-        np.testing.assert_allclose(thetas_par, thetas_seq, atol=1e-8)
+        np.testing.assert_allclose(thetas_par, thetas_seq, atol=tol(1e-8, 2e-4))
         np.testing.assert_allclose(
-            final_par.covariance, final_seq.covariance, atol=1e-8
+            final_par.covariance, final_seq.covariance, atol=tol(1e-8, 2e-4)
         )
 
     def test_matches_with_forgetting_factor(self):
         params, s0, A, y, _ = make_problem(np.random.default_rng(1), lam=0.97)
         final_seq, thetas_seq = rls_scan(params, s0, A, y, save_trajectory=True)
         final_par, thetas_par = rls_parallel(params, s0, A, y)
-        np.testing.assert_allclose(thetas_par, thetas_seq, atol=1e-7)
+        np.testing.assert_allclose(thetas_par, thetas_seq, atol=tol(1e-7, 2e-4))
         np.testing.assert_allclose(
-            final_par.covariance, final_seq.covariance, atol=1e-8
+            final_par.covariance, final_seq.covariance, atol=tol(1e-8, 2e-4)
         )
 
     def test_batched_streams(self):
@@ -60,15 +61,15 @@ class TestEquivalence:
         )
         final_seq = rls_scan(params, s0, A, y)
         final_par, _ = rls_parallel(params, s0, A, y)
-        np.testing.assert_allclose(final_par.theta, final_seq.theta, atol=1e-8)
+        np.testing.assert_allclose(final_par.theta, final_seq.theta, atol=tol(1e-8, 2e-4))
 
     def test_fit_matches_final(self):
         params, s0, A, y, _ = make_problem(np.random.default_rng(3), lam=0.95)
         final_seq = rls_scan(params, s0, A, y)
         fit = jax.jit(lambda s: rls_fit(params, s, A, y))(s0)
-        np.testing.assert_allclose(fit.theta, final_seq.theta, atol=1e-8)
+        np.testing.assert_allclose(fit.theta, final_seq.theta, atol=tol(1e-8, 2e-4))
         np.testing.assert_allclose(
-            fit.covariance, final_seq.covariance, atol=1e-8
+            fit.covariance, final_seq.covariance, atol=tol(1e-8, 2e-4)
         )
 
     def test_recovers_ground_truth(self):
@@ -90,8 +91,8 @@ class TestSharded:
         final_sh, thetas_sh = jax.jit(
             lambda a, b: rls_parallel_sharded(params, s0, a, b, mesh, "stream")
         )(A, y)
-        np.testing.assert_allclose(thetas_sh, thetas_seq, atol=1e-7)
-        np.testing.assert_allclose(final_sh.theta, final_seq.theta, atol=1e-8)
+        np.testing.assert_allclose(thetas_sh, thetas_seq, atol=tol(1e-7, 2e-4))
+        np.testing.assert_allclose(final_sh.theta, final_seq.theta, atol=tol(1e-8, 2e-4))
 
     def test_rejects_indivisible_stream(self):
         devices = jax.devices()

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from conftest import tol
+
 from blf_tpu.models.lipm import LIPMParams, dcm_backward_recursion
 from blf_tpu.mpc.dcm import solve_dcm_mpc
 from blf_tpu.parallel.mesh import make_mesh, shard_batch, replicate
@@ -103,7 +105,7 @@ class TestShardedFleet:
         )
         np.testing.assert_allclose(
             np.asarray(result.consensus_zmp0), np.asarray(plans.zmp[:, 0, :]),
-            atol=1e-10,
+            atol=tol(1e-10, 2e-6),
         )
         # and the general per-lane solver agrees to solver tolerance
         general = jax.vmap(
@@ -148,3 +150,120 @@ class TestShardedFleet:
         assert np.abs(np.asarray(state.dcm)).max() < 0.1
         assert float(result.worst_margin) <= 1e-3
         assert float(result.stats.num_converged) >= 12
+
+
+class TestStatusAndQuarantine:
+    """Failure detection wired into the production tick (SURVEY.md §5:
+    status 'carried in the batch', NaN quarantine per lane)."""
+
+    def _setup(self, B=16):
+        mesh = make_mesh(8, model_axis=1)
+        dcm_ref, zmp_ref, poly_A, poly_b = problem_refs()
+        num_constraints = 2 * N + N * 4
+        dcm0 = jnp.array([0.05, -0.08])
+        state = init_fleet(B, N, num_constraints, dcm0, dcm0,
+                           dtype=zmp_ref.dtype)
+        dist = jnp.zeros((B, 1, 2), zmp_ref.dtype)
+        step = make_fleet_step(mesh, PARAMS, DT, iterations=150)
+        return mesh, state, dist, (dcm_ref, zmp_ref, poly_A, poly_b), step
+
+    def test_healthy_fleet_reports_converged_status(self):
+        from blf_tpu.utils.status import SolverStatus, status_counts
+
+        mesh, state, dist, refs, step = self._setup()
+        _, result = step(shard_batch(state, mesh), dist, *refs)
+        status = np.asarray(result.status)
+        assert status.shape == (16,)
+        counts = status_counts(result.status)
+        assert counts["numerical_error"] == 0
+        assert counts["converged"] == int(result.stats.num_converged)
+        assert float(result.num_quarantined) == 0.0
+
+    def test_nan_lane_is_quarantined_not_propagated(self):
+        """Poison one lane's state with NaN: its solve goes non-finite, the
+        tick flags NUMERICAL_ERROR for that lane only, and the new state is
+        reset (finite) for it — warm starts cleared — while every other
+        lane advances normally."""
+        from blf_tpu.utils.status import SolverStatus
+
+        mesh, state, dist, refs, step = self._setup()
+        poisoned = state._replace(
+            dcm=state.dcm.at[3].set(jnp.nan),
+        )
+        new_state, result = step(shard_batch(poisoned, mesh), dist, *refs)
+        status = np.asarray(result.status)
+        assert status[3] == int(SolverStatus.NUMERICAL_ERROR)
+        assert np.all(status[np.arange(16) != 3]
+                      != int(SolverStatus.NUMERICAL_ERROR))
+        assert float(result.num_quarantined) == 1.0
+        # quarantined lane: finite state, cleared warm start, fresh prior
+        assert not np.all(np.isfinite(np.asarray(poisoned.dcm)))
+        np.testing.assert_array_equal(
+            np.asarray(new_state.warm_zmp[3]), 0.0)
+        np.testing.assert_array_equal(np.asarray(new_state.warm_s[3]), 1.0)
+        # the reset is sanitized, so even though the pre-tick dcm was the
+        # poison itself the quarantined lane comes back fully finite
+        assert all(
+            np.all(np.isfinite(np.asarray(leaf)))
+            for leaf in new_state
+        )
+
+
+class TestRowShardedQP:
+    """Intra-solve tensor/model parallelism (SURVEY.md §2.3 TP row): one
+    shared-factor ADMM solve's constraint rows split across the mesh."""
+
+    def _problem(self, B=8):
+        dcm_ref, zmp_ref, poly_A, poly_b = problem_refs()
+        from blf_tpu.mpc.dcm import build_dcm_qp
+        rng = np.random.default_rng(0)
+        dcm0s = jnp.asarray(rng.normal(0.05, 0.02, (B, 2)))
+        P, q, A, l, u = build_dcm_qp(PARAMS, DT, dcm0s, dcm_ref, zmp_ref,
+                                     poly_A, poly_b)
+        is_eq = jnp.arange(A.shape[-2]) < 2 * N
+        from blf_tpu.mpc.qp import factor_shared_qp
+        return factor_shared_qp(P, A, is_eq), q, l, u
+
+    @pytest.mark.parametrize("shards", [2, 4, 8])
+    def test_matches_unsharded(self, shards):
+        from jax.sharding import Mesh, PartitionSpec as P_
+        from jax import shard_map
+
+        from blf_tpu.mpc.qp import (
+            shard_factors_rows,
+            solve_qp_factored,
+            solve_qp_factored_rowsharded,
+        )
+
+        f, q, l, u = self._problem()
+        m = f.A_s.shape[-2]
+        ref = solve_qp_factored(f, q, l, u, iterations=150, refine=False,
+                                backend="xla")
+
+        mesh = Mesh(np.array(jax.devices()[:shards]).reshape(shards),
+                    ("model",))
+
+        def solve(lT, uT):
+            idx = jax.lax.axis_index("model")
+            f_loc = shard_factors_rows(f, idx, shards)
+            return solve_qp_factored_rowsharded(
+                f_loc, q, lT, uT, axis_name="model", iterations=150)
+
+        sol = shard_map(
+            solve, mesh=mesh,
+            in_specs=(P_(None, "model"), P_(None, "model")),
+            out_specs=type(ref)(
+                x=P_(), y=P_(None, "model"), z=P_(None, "model"),
+                primal_residual=P_(), dual_residual=P_(), converged=P_(),
+                objective=P_(), rho_scale=P_(), refined=P_(),
+            ),
+            check_vma=False,
+        )(l, u)
+
+        assert sol.y.shape == (8, m)
+        # cold-started both; same fixed point to solver tolerance
+        np.testing.assert_allclose(np.asarray(sol.x), np.asarray(ref.x),
+                                   atol=tol(2e-5, 2e-4))
+        np.testing.assert_allclose(np.asarray(sol.y), np.asarray(ref.y),
+                                   atol=tol(1e-3, 5e-3))
+        assert int(sol.converged.sum()) >= int(ref.converged.sum()) - 1

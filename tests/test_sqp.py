@@ -8,6 +8,8 @@ backward recursion (`models/lipm.py`) for the planner's constant-ω reduction.
 
 import numpy as np
 import pytest
+
+from conftest import tol
 import scipy.optimize
 
 import jax
@@ -51,8 +53,8 @@ class TestSQPCore:
             config=SQPConfig(iterations=3, al_iterations=1,
                              regularization=0.0),
         )
-        np.testing.assert_allclose(sol.states, lqr.states, atol=1e-9)
-        np.testing.assert_allclose(sol.controls, lqr.controls, atol=1e-9)
+        np.testing.assert_allclose(sol.states, lqr.states, atol=tol(1e-9, 2e-4))
+        np.testing.assert_allclose(sol.controls, lqr.controls, atol=tol(1e-9, 2e-4))
 
     def test_constrained_double_integrator_vs_scipy(self):
         """Box-constrained minimum-effort transfer vs an independent SLSQP."""
@@ -92,7 +94,7 @@ class TestSQPCore:
             config=SQPConfig(iterations=10, al_iterations=6,
                              penalty_init=10.0),
         )
-        assert float(sol.max_violation) <= 1e-6
+        assert float(sol.max_violation) <= tol(1e-6, 2e-4)
         # same optimum as the independent solver
         np.testing.assert_allclose(float(sol.cost), ref.fun, rtol=1e-5)
         np.testing.assert_allclose(
@@ -149,13 +151,13 @@ class TestDCMPlanner:
             params, dt, dcm0, omega, zmp_ref, poly_A, poly_b, goal,
         )
         assert bool(sol.converged)
-        assert float(sol.cost) < 1e-10
-        np.testing.assert_allclose(sol.dcm[:, :2], xy_ref, atol=1e-8)
-        np.testing.assert_allclose(sol.dcm[:, 2], z_nom, atol=1e-8)
-        np.testing.assert_allclose(sol.omega, float(omega), atol=1e-9)
-        np.testing.assert_allclose(sol.omega_dot, 0.0, atol=1e-9)
+        assert float(sol.cost) < tol(1e-10, 1e-6)
+        np.testing.assert_allclose(sol.dcm[:, :2], xy_ref, atol=tol(1e-8, 2e-4))
+        np.testing.assert_allclose(sol.dcm[:, 2], z_nom, atol=tol(1e-8, 2e-4))
+        np.testing.assert_allclose(sol.omega, float(omega), atol=tol(1e-9, 2e-4))
+        np.testing.assert_allclose(sol.omega_dot, 0.0, atol=tol(1e-9, 2e-4))
         # vrp_z = g/ω² = z_nom exactly in the constant-ω reduction
-        np.testing.assert_allclose(sol.vrp[:, 2], z_nom, atol=1e-8)
+        np.testing.assert_allclose(sol.vrp[:, 2], z_nom, atol=tol(1e-8, 2e-4))
 
     def test_push_recovery_respects_polygons_and_terminal(self):
         """Perturbed initial DCM: the planner must deviate the ZMP (within
@@ -172,12 +174,12 @@ class TestDCMPlanner:
         sol = plan_time_varying_dcm(
             params, dt, dcm0, omega, zmp_ref, poly_A, poly_b, goal,
         )
-        assert float(sol.max_violation) <= 1e-6
+        assert float(sol.max_violation) <= tol(1e-6, 2e-4)
         # every ZMP inside its polygon
         margins = (
             jnp.einsum("tmi,ti->tm", poly_A, sol.zmp) - poly_b
         )
-        assert float(margins.max()) <= 1e-6
+        assert float(margins.max()) <= tol(1e-6, 2e-4)
         # recovery actually used the polygon (ZMP ≠ reference)
         assert float(jnp.abs(sol.zmp - zmp_ref).max()) > 1e-3
         # terminal capture: DCM at goal, ω settled
@@ -204,7 +206,7 @@ class TestDCMPlanner:
             params, dt, dcm0, omega0, zmp_ref, poly_A, poly_b, goal,
             weights=DCMPlannerWeights(omega_tracking=0.3, omega_dot=0.1),
         )
-        assert float(sol.max_violation) <= 1e-6
+        assert float(sol.max_violation) <= tol(1e-6, 2e-4)
         assert float(jnp.abs(sol.omega_dot).max()) > 1e-2   # ω̇ engaged
         # ω driven back toward nominal by the end
         assert abs(float(sol.omega[-1]) - float(omega_nom)) < 0.05
@@ -234,8 +236,8 @@ class TestDCMPlanner:
         single = plan_time_varying_dcm(
             params, dt, dcm0[2], omega0[2], zmp_ref, poly_A, poly_b, goal
         )
-        np.testing.assert_allclose(batch.dcm[2], single.dcm, atol=1e-10)
-        np.testing.assert_allclose(batch.zmp[2], single.zmp, atol=1e-10)
+        np.testing.assert_allclose(batch.dcm[2], single.dcm, atol=tol(1e-10, 1e-4))
+        np.testing.assert_allclose(batch.zmp[2], single.zmp, atol=tol(1e-10, 1e-4))
 
     def test_exact_step_reduces_to_lipm_discrete_step(self):
         """ω̇ = 0 ⇒ the planner's flow is bit-for-bit dcm_discrete_step."""
@@ -251,7 +253,7 @@ class TestDCMPlanner:
         stepped = _dcm_step(x, u, dt, params.gravity, 0.0)
         vrp = jnp.concatenate([zmp, jnp.atleast_1d(9.81 / omega**2)])
         expected = dcm_discrete_step(params, xi, vrp, dt)
-        np.testing.assert_allclose(stepped[:3], expected, atol=1e-14)
+        np.testing.assert_allclose(stepped[:3], expected, atol=tol(1e-14, 1e-6))
         np.testing.assert_allclose(stepped[3], omega, atol=0)
 
     def test_com_integration_exactness(self):
@@ -269,4 +271,4 @@ class TestDCMPlanner:
             + np.exp(-omega * ts)[:, None]
             * (np.asarray(com0) - np.asarray(xi))[None]
         )
-        np.testing.assert_allclose(com, expected, atol=1e-12)
+        np.testing.assert_allclose(com, expected, atol=tol(1e-12, 1e-6))

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from conftest import tol
+
 from blf_tpu.models import rigid_body as rb
 from blf_tpu.models.kinematics import forward_kinematics, frame_pose
 from blf_tpu.models.robots import HUMANOID_SOLE_FRAMES, make_humanoid_23dof
@@ -126,7 +128,7 @@ class TestStandingBalance:
             iterations=400,
         )
         np.testing.assert_allclose(
-            np.asarray(sol.wrenches[1]), np.zeros(6), atol=1e-6
+            np.asarray(sol.wrenches[1]), np.zeros(6), atol=tol(1e-6, 2e-4)
         )
         # single support still carries the weight
         np.testing.assert_allclose(
@@ -236,5 +238,6 @@ class TestBatched:
                                   jax.tree_util.tree_map(lambda x: x[3], batch),
                                   task, iterations=200)
         np.testing.assert_allclose(
-            np.asarray(sols.nu_dot[3]), np.asarray(solo.nu_dot), atol=1e-8
+            np.asarray(sols.nu_dot[3]), np.asarray(solo.nu_dot),
+            atol=tol(1e-8, 1e-4)
         )
