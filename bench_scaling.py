@@ -96,7 +96,9 @@ def main():
         state = shard_batch(state, mesh)
         rng = np.random.default_rng(0)
         dist = jnp.asarray(rng.normal(0, 0.004, (batch, 1, 2)), dtype)
-        step = make_fleet_step(mesh, params, dt, iterations=args.iterations)
+        backend = "pallas" if platform == "tpu" else "xla"
+        step = make_fleet_step(mesh, params, dt, iterations=args.iterations,
+                               backend=backend)
 
         @jax.jit
         def run_ticks(state):

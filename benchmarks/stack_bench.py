@@ -141,6 +141,10 @@ def main(batch: int = 512) -> None:
                                         * realtime_stacks, 0),
             "mpc_converged": int(jnp.sum(trace.mpc_converged)),
             "wbc_converged": int(jnp.sum(trace.wbc_converged)),
+            "wbc_max_rp": float(jnp.max(trace.wbc_max_rp)),
+            "wbc_median_rp": float(jnp.median(trace.wbc_max_rp)),
+            "wbc_max_rd": float(jnp.max(trace.wbc_max_rd)),
+            "wbc_median_rd": float(jnp.median(trace.wbc_max_rd)),
             "all_finite": finite,
             "compile_s": round(compile_s, 1),
             "config": {"horizon": horizon, "wbc_per_mpc": config.wbc_per_mpc,

@@ -7,7 +7,8 @@ re-pick `bench.py`'s config when the solver or kernels change.
 
 Measured on the v5e (horizon 16, 50 iterations, f32). Run-to-run spread at
 the peak is ~1%; the canonical headline number is the driver-recorded
-BENCH_r01.json run (3.66M solves/s at batch 98304, tick 26.88 ms,
+BENCH_r01.json run (3.66M solves/s at batch 98304, tick 26.88 ms — the
+round-3 batch-minor kernel rewrite lifted this to 5.85M at tick 16.8 ms,
 2026-08-19) — quoted by README.md and PARITY.md. One sweep @ 2026-08-19:
 
     backend     batch    tick_ms   solves/s

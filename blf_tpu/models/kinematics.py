@@ -209,6 +209,10 @@ class LinkPoses(NamedTuple):
     rotation: jnp.ndarray
 
 
+from blf_tpu.ops.precision import f32_matmuls
+
+
+@f32_matmuls
 def forward_kinematics(tree: KinematicTree, base_position, base_rotation, q) -> LinkPoses:
     """World poses of all links (iDynTree ``getWorldTransform`` equivalent).
 

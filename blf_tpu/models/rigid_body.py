@@ -81,6 +81,10 @@ def spatial_inertias(tree: KinematicTree, poses: LinkPoses) -> jnp.ndarray:
     return jnp.concatenate([top, bottom], axis=-2)
 
 
+from blf_tpu.ops.precision import f32_matmuls
+
+
+@f32_matmuls
 def mass_matrix(tree: KinematicTree, base_position, base_rotation, q,
                 poses: Optional[LinkPoses] = None) -> jnp.ndarray:
     """Free-floating mass matrix (6+n, 6+n) w.r.t. mixed ν — the equivalent of
@@ -129,6 +133,7 @@ def _gravity_wrenches(tree: KinematicTree, poses: LinkPoses, gravity) -> jnp.nda
     return jnp.concatenate([f, tau], axis=-1)
 
 
+@f32_matmuls
 def bias_forces(tree: KinematicTree, base_position, base_rotation, q,
                 base_twist, qdot, gravity=GRAVITY,
                 poses: Optional[LinkPoses] = None) -> jnp.ndarray:
@@ -205,6 +210,7 @@ def frame_kinematics(tree: KinematicTree, poses: LinkPoses, frame: str, nu):
     return R, p, frame_jacobian(tree, poses, frame) @ nu
 
 
+@f32_matmuls
 def frame_bias_acceleration(tree: KinematicTree, base_position, base_rotation,
                             q, base_twist, qdot, frame: str) -> jnp.ndarray:
     """``J̇_f ν`` (6,) — the frame acceleration at zero generalized
@@ -302,6 +308,7 @@ class FloatingBaseInput(NamedTuple):
     contact_wrenches: Dict[str, jnp.ndarray]
 
 
+@f32_matmuls
 def floating_base_dynamics(
     tree: KinematicTree,
     state: FloatingBaseState,

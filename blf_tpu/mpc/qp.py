@@ -41,19 +41,10 @@ def _einsum(spec, *ops):
     return jnp.einsum(spec, *ops, precision=_PRECISION)
 
 
-def _f32_matmuls(fn):
-    """Run every matmul traced inside `fn` (including the blocked matmuls in
-    cholesky/triangular_solve lowerings) at full f32 on TPU. The MXU's bf16
-    default biases the ADMM fixed point: residuals stall at ~1e-2 regardless
-    of iteration count. Measured cost on the fleet tick: none (HBM-bound)."""
-    import functools
-
-    @functools.wraps(fn)
-    def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision("float32"):
-            return fn(*args, **kwargs)
-
-    return wrapped
+# Shared f32-matmul context (see blf_tpu.ops.precision): the MXU's bf16
+# default biases the ADMM fixed point — residuals stall at ~1e-2 regardless
+# of iteration count. Measured cost on the fleet tick: none (HBM-bound).
+from blf_tpu.ops.precision import f32_matmuls as _f32_matmuls
 
 
 

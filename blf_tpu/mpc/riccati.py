@@ -342,3 +342,53 @@ def solve_lqr_sharded(
         states=jnp.concatenate([xs, xT[None]], axis=0),
         controls=us,
     )
+
+
+def parallel_value_general(As, Bs, lx, lu, lxx, luu, lux, VxT, VxxT):
+    """O(log T)-depth value functions for the iLQR/SQP quadratic subproblem.
+
+    The SQP backward pass (:mod:`blf_tpu.mpc.sqp`) quadraticizes an
+    augmented-Lagrangian cost with **cross terms** (``lux``) and **linear
+    terms** (``lx``/``lu``), which the plain Särkkä elements of
+    :func:`solve_lqr` don't carry. Completing the square in the control —
+    ``u = v − luu⁻¹(lu + lux·x)`` — reduces each stage to the canonical
+    affine-LQR form whose elements DO compose associatively (the η slot
+    carries the linear state cost):
+
+        F̃ = A − B·luu⁻¹·lux        c̃ = −B·luu⁻¹·lu        L̃ = B
+        Q̃ = lxx − luxᵀ·luu⁻¹·lux   q̃ = lx − luxᵀ·luu⁻¹·lu  R̃ = luu
+
+    Returns ``(Vxs, Vxxs)`` with shapes ``(T+1, nx)`` / ``(T+1, nx, nx)``:
+    the gradients/Hessians of the value function at every knot about the
+    current iterate — identical (to fp) to the sequential backward
+    recursion, in log instead of linear depth. Connects the long-context SP
+    machinery to the nonlinear stack (SURVEY.md §5 long-context row).
+
+    Precision note: composed interval maps carry products of the open-loop
+    ``A`` blocks, which for UNSTABLE dynamics grow like ``ρ(A)^T`` — e.g.
+    the DCM flow at ω·dt ≈ 0.33 reaches 1e9 by T = 64, past f32's useful
+    range (tests pin f32 agreement to T ≲ 24; f64 is exact at T = 64+).
+    For long unstable horizons in f32 use the sequential backward, or shard
+    the horizon (:func:`solve_lqr_sharded` composes only block-local maps).
+    """
+    sol = lambda M, X: jnp.linalg.solve(M, X)
+    luu_lu = sol(luu, lu[..., None])[..., 0]            # (T, nu)
+    luu_lux = sol(luu, lux)                             # (T, nu, nx)
+    luxT = jnp.swapaxes(lux, -1, -2)
+    Ft = As - _mm(Bs, luu_lux)
+    ct = -_mm(Bs, luu_lu[..., None])[..., 0]
+    Qt = lxx - _mm(luxT, luu_lux)
+    Qt = 0.5 * (Qt + jnp.swapaxes(Qt, -1, -2))
+    qt = lx - _mm(luxT, luu_lu[..., None])[..., 0]
+    Cs = jnp.einsum("kij,kjl,kml->kim", Bs, jnp.linalg.inv(luu), Bs,
+                    precision=_PREC)
+    elems = (Ft, ct, Cs, -qt, Qt)
+    term = (
+        jnp.zeros_like(VxxT), jnp.zeros_like(VxT), jnp.zeros_like(VxxT),
+        -VxT, VxxT,
+    )
+    elems = jax.tree_util.tree_map(
+        lambda a, t: jnp.concatenate([a, t[None]], axis=0), elems, term
+    )
+    _, _, _, etas, Js = _suffix_scan(elems)
+    return -etas, Js

@@ -60,6 +60,9 @@ class SQPConfig(NamedTuple):
     line_search_alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1, 0.03, 0.0)
     constraint_tol: float = 1e-6    # feasibility for `converged`
     step_tol: float = 1e-8          # |merit decrease| for `converged`
+    parallel_backward: bool = False  # O(log T) associative-scan value pass
+    #   (blf_tpu.mpc.riccati.parallel_value_general) instead of the O(T)
+    #   sequential Riccati scan — same gains to fp; wins at long horizons
 
 
 class SQPSolution(NamedTuple):
@@ -191,9 +194,7 @@ def solve_trajopt(
         reg = (config.regularization * jnp.maximum(1.0, rho)
                * jnp.eye(nu, dtype=dtype))
 
-        def step(carry, inp):
-            Vx, Vxx = carry
-            lx_k, lu_k, lxx_k, luu_k, lux_k, A_k, B_k = inp
+        def gains(Vx, Vxx, lx_k, lu_k, lxx_k, luu_k, lux_k, A_k, B_k):
             Qx = lx_k + _mv(A_k.T, Vx)
             Qu = lu_k + _mv(B_k.T, Vx)
             Qxx = lxx_k + _mm(A_k.T, _mm(Vxx, A_k))
@@ -208,6 +209,22 @@ def solve_trajopt(
                 Qux.T, K
             )
             Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
+            return Vx_new, Vxx_new, K, kff
+
+        if config.parallel_backward:
+            # O(log T) value pass (associative scan), then every knot's
+            # gains in one vmap — the SP machinery driving the SQP
+            from blf_tpu.mpc.riccati import parallel_value_general
+
+            Vxs, Vxxs = parallel_value_general(
+                A, B, lx, lu, lxx, luu + reg, lux, VxT, VxxT)
+            _, _, Ks, kffs = jax.vmap(gains)(
+                Vxs[1:], Vxxs[1:], lx, lu, lxx, luu, lux, A, B)
+            return Ks, kffs
+
+        def step(carry, inp):
+            Vx, Vxx = carry
+            Vx_new, Vxx_new, K, kff = gains(Vx, Vxx, *inp)
             return (Vx_new, Vxx_new), (K, kff)
 
         _, (Ks, kffs) = jax.lax.scan(

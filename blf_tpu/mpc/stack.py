@@ -55,9 +55,11 @@ from blf_tpu.mpc.dcm import DCMWeights, solve_dcm_mpc
 from blf_tpu.mpc.wholebody import (
     WholeBodyParams,
     WholeBodyTask,
+    build_wholebody_qp,
     solve_wholebody_qp,
 )
 from blf_tpu.ops.integrators import integrate
+from blf_tpu.ops.precision import f32_matmuls
 from blf_tpu.ops.lie import so3_log
 
 __all__ = ["StackConfig", "StackState", "StackTrace", "init_stack",
@@ -90,6 +92,10 @@ class StackConfig(NamedTuple):
     rls_lambda: float = 0.97
     rls_noise: float = 1e-2
     compensate_push: bool = True    # feed f̂ back into z_cmd (ablation knob)
+    wbc_eps: Optional[float] = None  # WBC QP convergence tolerance; None →
+    #   1e-5 in f64, 1e-4 in f32 (the realistic single-precision residual
+    #   floor of the per-lane ADMM — same dtype reasoning as solve_qp's
+    #   rho_eq_scale default)
 
 
 class StackState(NamedTuple):
@@ -114,6 +120,8 @@ class StackTrace(NamedTuple):
     push_estimate: jnp.ndarray      # (2,) RLS estimate fed to the controller
     mpc_converged: jnp.ndarray      # () bool
     wbc_converged: jnp.ndarray      # () bool: all inner ticks converged
+    wbc_max_rp: jnp.ndarray         # () worst inner-tick WBC primal residual
+    wbc_max_rd: jnp.ndarray         # () worst inner-tick WBC dual residual
 
 
 def _com_state(tree, lipm, state):
@@ -224,6 +232,7 @@ def make_stack_step(
                 null_position=p0, null_rotation=R0,
             ))
         return out
+    @f32_matmuls
     def step(stack: StackState, true_push_xy, dcm_ref, zmp_ref,
              poly_A, poly_b) -> Tuple[StackState, StackTrace]:
         dtype = stack.plant.joint_positions.dtype
@@ -250,8 +259,25 @@ def make_stack_step(
         posture_ref = (stack.plant.joint_positions if q_ref is None
                        else jnp.asarray(q_ref, dtype))
 
+        # WBC warm starts across inner ticks: the 100 Hz problems are
+        # near-identical tick to tick, so the previous primal/dual seed cuts
+        # the iterations-to-tolerance the way the MPC loop's warm starts do
+        # (first inner tick of each outer tick is cold — the plan changed)
+        zero_task = WholeBodyTask(
+            com_acc_des=jnp.zeros(3, dtype),
+            base_ang_acc_des=jnp.zeros(3, dtype),
+            posture_acc_des=jnp.zeros_like(stack.plant.joint_positions),
+            contact_active=jnp.ones(len(wbc_params.contact_frames), dtype),
+        )
+        qp_shapes = jax.eval_shape(
+            lambda s: build_wholebody_qp(tree, wbc_params, s, zero_task),
+            stack.plant,
+        )
+        wbc_x0 = jnp.zeros(qp_shapes[1].shape, dtype)
+        wbc_y0 = jnp.zeros(qp_shapes[3].shape, dtype)
+
         def inner(carry, k):
-            plant, obs, theta, cov = carry
+            plant, obs, theta, cov, x_w, y_w = carry
             com, com_vel, dcm = _com_state(tree, lipm, plant)
             # interpolate the MPC plan between knots 0 and 1
             frac = (k.astype(dtype) + 1.0) / config.wbc_per_mpc
@@ -273,8 +299,14 @@ def make_stack_step(
                     - config.posture_kd * plant.joint_velocities),
                 contact_active=jnp.ones(len(wbc_params.contact_frames), dtype),
             )
+            eps = config.wbc_eps if config.wbc_eps is not None else (
+                1e-5 if jnp.finfo(dtype).bits >= 64 else 1e-4)
+            cold = (k == 0).astype(dtype)
             sol = solve_wholebody_qp(tree, wbc_params, plant, task,
-                                     iterations=config.wbc_iterations)
+                                     iterations=config.wbc_iterations,
+                                     x0=(1.0 - cold) * x_w,
+                                     y0=(1.0 - cold) * y_w,
+                                     eps_abs=eps, eps_rel=eps)
 
             # plant: torques drive the joints; the ground reaction emerges
             # from the spring–damper sole contact; the TRUE push (invisible
@@ -318,12 +350,16 @@ def make_stack_step(
             push_meas = wrenches[-1, :2]
             est = rls_step(rls_params, RLSState(theta, cov),
                            jnp.eye(2, dtype=dtype), push_meas)
-            return ((plant_next, obs_next, est.theta, est.covariance),
-                    (z_cmd, sol.qp.converged))
+            return ((plant_next, obs_next, est.theta, est.covariance,
+                     sol.qp.x, sol.qp.y),
+                    (z_cmd, sol.qp.converged,
+                     sol.qp.primal_residual, sol.qp.dual_residual))
 
-        (plant, obs, theta, cov), (z_cmds, wbc_conv) = jax.lax.scan(
+        (plant, obs, theta, cov, _, _), (
+            z_cmds, wbc_conv, wbc_rps, wbc_rds) = jax.lax.scan(
             inner,
-            (stack.plant, stack.observer, stack.push_theta, stack.push_cov),
+            (stack.plant, stack.observer, stack.push_theta, stack.push_cov,
+             wbc_x0, wbc_y0),
             jnp.arange(config.wbc_per_mpc),
         )
 
@@ -337,6 +373,8 @@ def make_stack_step(
             push_estimate=stack.push_theta,
             mpc_converged=plan.qp.converged,
             wbc_converged=jnp.all(wbc_conv),
+            wbc_max_rp=jnp.max(wbc_rps),
+            wbc_max_rd=jnp.max(wbc_rds),
         )
         return new_stack, trace
 

@@ -83,6 +83,10 @@ def make_variables(tree: KinematicTree, num_contacts: int) -> VariablesHandler:
     return handler
 
 
+from blf_tpu.ops.precision import f32_matmuls
+
+
+@f32_matmuls
 def build_wholebody_qp(
     tree: KinematicTree,
     params: WholeBodyParams,

@@ -148,9 +148,12 @@ def _stage_kernel_t(
     ``chunks`` splits the block into independent column sub-tiles whose op
     streams interleave (software pipelining: one chunk's VPU tail can
     overlap another chunk's MXU passes); ``unroll`` unrolls that many
-    iterations per loop trip. Measured on v5e (h=16 fleet): ch=2/un=2 buys
-    ~14% over the plain loop; the kernel is otherwise fully serialized —
-    VPU chain ≈ MXU chain ≈ half the stage time each.
+    iterations per loop trip, giving the scheduler a long straight-line
+    window. Measured on v5e, delta mode, B=98304: the ch=2/un=8 defaults
+    reach 14.7% of bf16 peak as useful FLOPs at (m,n)=(96,64) and 28–29%
+    at the 128-aligned (192,128) transcription (SOL.md), ~1.5× over the
+    plain loop — the kernel is otherwise fully serialized (VPU chain ≈ MXU
+    chain ≈ half the stage time each).
     """
     s = s_ref[:]                    # (1, BB)
     d = d_ref[:]                    # (n, 1) pencil eigenvalues
@@ -268,7 +271,7 @@ def admm_stage_t(
     matmul: str = "delta",
     block_lanes: int = 1024,
     chunks: int = 2,
-    unroll: int = 2,
+    unroll: int = 8,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run ``iters`` fused v-space ADMM iterations, batch-minor; returns (v, τ).

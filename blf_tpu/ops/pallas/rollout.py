@@ -10,12 +10,15 @@ wrench ``ContinuousContactModel.cpp:79-108``, Newton–Euler with diagonal
 body inertia, Baumgarte SO(3) stabilisation ``FloatingBaseSystemKinematics
 .cpp:64-68``).
 
-Layout: **struct-of-rows, lane-minor** — every scalar field is a ``(1, B)``
-row (positions 3 rows, rotations 9, …), so each VPU op runs across the full
-128-wide lane dimension; the lane-major ``(B, C)`` layout would waste
-≈ 100 − C/128 % of every vector op. All compute is elementwise/cross-product
-VPU work (no MXU): per-lane 3×3 algebra is unrolled componentwise, and the
-symmetric 3×3 inverse in the Baumgarte term is a closed-form adjugate.
+Layout: **struct-of-tiles, lane-minor** — every scalar field is an
+``(8, B/8)`` tile (positions 3 tiles, rotations 9, …), so each VPU op fills
+the full 8-sublane × 128-lane vector unit. The lane-major ``(B, C)`` layout
+would waste ≈ 100 − C/128 % of every op on the lane axis, and the earlier
+``(1, B)`` row layout wasted 7/8 of the sublane axis (measured 0.24 T op/s
+→ the tile layout's win is the VPU's full sublane width). All compute is
+elementwise/cross-product VPU work (no MXU): per-lane 3×3 algebra is
+unrolled componentwise, and the symmetric 3×3 inverse in the Baumgarte term
+is a closed-form adjugate.
 """
 
 from __future__ import annotations
@@ -53,8 +56,9 @@ def _mat_t_vec(r, v):
 def _rollout_kernel(
     p_ref, r_ref, v_ref, w_ref, p0_ref, r0_ref, kb_ref, scal_ref,
     p_out, r_out, v_out, w_out,
-    *, steps: int,
+    *, steps: int, chunks: int,
 ):
+    SUB = 8  # sublane tile height: each field is rows of (SUB, BB/SUB)
     L = scal_ref[0, 0]
     Wd = scal_ref[1, 0]
     mass = scal_ref[2, 0]
@@ -62,32 +66,39 @@ def _rollout_kernel(
     rho = scal_ref[6, 0]
     dt = scal_ref[7, 0]
 
-    row = lambda ref, i: ref[i:i + 1, :]                 # (1, BB)
-    p0 = tuple(row(p0_ref, i) for i in range(3))
-    r0 = tuple(row(r0_ref, i) for i in range(9))
-    k = row(kb_ref, 0)
-    b = row(kb_ref, 1)
+    # `chunks` independent column sub-tiles: the per-step op chain is fully
+    # serial (each Euler step depends on the last), so a single chunk runs
+    # at VPU *latency*, not throughput; interleaving independent chunks
+    # gives the scheduler ILP to hide it.
+    cw = p_ref.shape[1] // chunks
+    row = lambda ref, i, c: ref[SUB * i:SUB * (i + 1), c * cw:(c + 1) * cw]
+    p0 = [tuple(row(p0_ref, i, c) for i in range(3)) for c in range(chunks)]
+    r0 = [tuple(row(r0_ref, i, c) for i in range(9)) for c in range(chunks)]
+    k = [row(kb_ref, 0, c) for c in range(chunks)]
+    b = [row(kb_ref, 1, c) for c in range(chunks)]
     area = L * Wd
     L2, W2 = L * L, Wd * Wd
-    r0e1 = (r0[0], r0[3], r0[6])
-    r0e2 = (r0[1], r0[4], r0[7])
+    r0e1 = [(r0[c][0], r0[c][3], r0[c][6]) for c in range(chunks)]
+    r0e2 = [(r0[c][1], r0[c][4], r0[c][7]) for c in range(chunks)]
 
-    def body(_, carry):
-        p, r, v, w = carry                                # tuples of (1, BB)
+    def one_chunk(c, p, r, v, w):
+        p0c, k_c, b_c = p0[c], k[c], b[c]
+        r0e1c, r0e2c = r0e1[c], r0e2[c]
         # -- closed-form patch wrench (ContinuousContactModel.cpp:79-108) --
         ar33 = jnp.abs(r[8])
         fscale = ar33 * area
-        f = tuple(fscale * (k * (p0[i] - p[i]) - b * v[i]) for i in range(3))
+        f = tuple(fscale * (k_c * (p0c[i] - p[i]) - b_c * v[i])
+                  for i in range(3))
         re1 = (r[0], r[3], r[6])
         re2 = (r[1], r[4], r[7])
         e1w = _cross(re1, _cross(re1, w))
         e2w = _cross(re2, _cross(re2, w))
-        e1r0 = _cross(re1, r0e1)
-        e2r0 = _cross(re2, r0e2)
+        e1r0 = _cross(re1, r0e1c)
+        e2r0 = _cross(re2, r0e2c)
         tscale = ar33 * (area / 12.0)
         tau = tuple(
-            tscale * (L2 * (b * e1w[i] + k * e1r0[i])
-                      + W2 * (b * e2w[i] + k * e2r0[i]))
+            tscale * (L2 * (b_c * e1w[i] + k_c * e1r0[i])
+                      + W2 * (b_c * e2w[i] + k_c * e2r0[i]))
             for i in range(3)
         )
 
@@ -137,17 +148,27 @@ def _rollout_kernel(
         r_n = tuple(r[i] + dt * r_dot[i] for i in range(9))
         return p_n, r_n, v_n, w_n
 
-    p = tuple(row(p_ref, i) for i in range(3))
-    r = tuple(row(r_ref, i) for i in range(9))
-    v = tuple(row(v_ref, i) for i in range(3))
-    w = tuple(row(w_ref, i) for i in range(3))
-    p, r, v, w = jax.lax.fori_loop(0, steps, body, (p, r, v, w))
-    for i in range(3):
-        p_out[i:i + 1, :] = p[i]
-        v_out[i:i + 1, :] = v[i]
-        w_out[i:i + 1, :] = w[i]
-    for i in range(9):
-        r_out[i:i + 1, :] = r[i]
+    def body(_, carry):
+        out = tuple(one_chunk(c, *carry[c]) for c in range(chunks))
+        return out
+
+    init = tuple(
+        (tuple(row(p_ref, i, c) for i in range(3)),
+         tuple(row(r_ref, i, c) for i in range(9)),
+         tuple(row(v_ref, i, c) for i in range(3)),
+         tuple(row(w_ref, i, c) for i in range(3)))
+        for c in range(chunks)
+    )
+    final = jax.lax.fori_loop(0, steps, body, init)
+    for c in range(chunks):
+        p, r, v, w = final[c]
+        cs = slice(c * cw, (c + 1) * cw)
+        for i in range(3):
+            p_out[SUB * i:SUB * (i + 1), cs] = p[i]
+            v_out[SUB * i:SUB * (i + 1), cs] = v[i]
+            w_out[SUB * i:SUB * (i + 1), cs] = w[i]
+        for i in range(9):
+            r_out[SUB * i:SUB * (i + 1), cs] = r[i]
 
 
 def foot_rollout_fused(
@@ -159,10 +180,13 @@ def foot_rollout_fused(
     *,
     dt,
     steps: int,
-    block_lanes: int = 512,
+    block_lanes: int = 2048,
+    chunks: int = 4,
     interpret=None,
 ):
     """Run the fused rollout; returns the final FootState (same shapes).
+    ``block_lanes`` must give ≥128 columns per 8-sublane tile (i.e. ≥1024)
+    to fill the VPU lane width; 2048 measured best on v5e.
 
     Scalar contact/foot parameters may be traced; ``spring_coeff`` /
     ``damper_coeff`` may additionally be per-lane ``(B,)`` (identification
@@ -174,24 +198,37 @@ def foot_rollout_fused(
         interpret = jax.default_backend() != "tpu"
     B = state.position.shape[0]
     dtype = state.position.dtype
+    SUB = 8
+    # Mosaic requires the block's lane dim to be a multiple of 128 (or the
+    # full array): with 8-sublane tiles that means block_lanes % 1024 == 0
+    # unless the block covers the whole batch.
     block_lanes = min(block_lanes, B)
-    if B % block_lanes:
-        raise ValueError(f"batch {B} not divisible by block_lanes {block_lanes}")
+    if block_lanes < B:
+        block_lanes = max(1024, (block_lanes // 1024) * 1024)
+        while B % block_lanes:
+            block_lanes -= 1024
+        if block_lanes < 1024:
+            block_lanes = B
+    if B % block_lanes or block_lanes % SUB:
+        raise ValueError(f"batch {B} not tileable at block_lanes {block_lanes}")
 
-    t = lambda a: jnp.swapaxes(a, 0, 1)
-    p_t = t(state.position)                                  # (3, B)
-    r_t = t(state.rotation.reshape(B, 9))                    # (9, B)
-    v_t = t(state.linear_velocity)
-    w_t = t(state.angular_velocity)
-    p0_t = t(jnp.broadcast_to(null_position, (B, 3)))
-    r0_t = t(jnp.broadcast_to(null_rotation, (B, 3, 3)).reshape(B, 9))
+    # (B,) lanes → (8, B/8) sublane tiles, stacked per component:
+    # component i of a C-vector field lives at rows [8i, 8i+8)
+    t = lambda a, C: jnp.swapaxes(a, 0, 1).reshape(C * SUB, B // SUB)
+    p_t = t(state.position, 3)                               # (24, B/8)
+    r_t = t(state.rotation.reshape(B, 9), 9)                 # (72, B/8)
+    v_t = t(state.linear_velocity, 3)
+    w_t = t(state.angular_velocity, 3)
+    p0_t = t(jnp.broadcast_to(null_position, (B, 3)), 3)
+    r0_t = t(jnp.broadcast_to(null_rotation, (B, 3, 3)).reshape(B, 9), 9)
     def _lane_coeff(c):
         a = jnp.asarray(c, dtype)
         a = a.reshape(-1) if a.ndim else a       # accept (), (B,), (B, 1)
         return jnp.broadcast_to(a, (B,))
 
     kb = jnp.stack([_lane_coeff(cparams.spring_coeff),
-                    _lane_coeff(cparams.damper_coeff)])      # (2, B)
+                    _lane_coeff(cparams.damper_coeff)]).reshape(
+        2 * SUB, B // SUB)                                   # (16, B/8)
     scal = jnp.stack([
         jnp.asarray(cparams.length, dtype).reshape(()),
         jnp.asarray(cparams.width, dtype).reshape(()),
@@ -203,10 +240,16 @@ def foot_rollout_fused(
         jnp.asarray(dt, dtype).reshape(()),
     ]).reshape(8, 1)
 
-    lane = lambda rows: pl.BlockSpec((rows, block_lanes), lambda i: (0, i),
+    cols = block_lanes // SUB
+    lane = lambda rows: pl.BlockSpec((rows * SUB, cols), lambda i: (0, i),
                                      memory_space=pltpu.VMEM)
     grid = (B // block_lanes,)
-    kernel = functools.partial(_rollout_kernel, steps=int(steps))
+    cols = block_lanes // SUB
+    chunks = max(1, min(chunks, cols // 128))
+    while cols % (chunks * 128) and chunks > 1:
+        chunks -= 1
+    kernel = functools.partial(_rollout_kernel, steps=int(steps),
+                               chunks=chunks)
     p_o, r_o, v_o, w_o = pl.pallas_call(
         kernel,
         grid=grid,
@@ -216,17 +259,18 @@ def foot_rollout_fused(
         ],
         out_specs=[lane(3), lane(9), lane(3), lane(3)],
         out_shape=[
-            jax.ShapeDtypeStruct((3, B), dtype),
-            jax.ShapeDtypeStruct((9, B), dtype),
-            jax.ShapeDtypeStruct((3, B), dtype),
-            jax.ShapeDtypeStruct((3, B), dtype),
+            jax.ShapeDtypeStruct((3 * SUB, B // SUB), dtype),
+            jax.ShapeDtypeStruct((9 * SUB, B // SUB), dtype),
+            jax.ShapeDtypeStruct((3 * SUB, B // SUB), dtype),
+            jax.ShapeDtypeStruct((3 * SUB, B // SUB), dtype),
         ],
         interpret=interpret,
     )(p_t, r_t, v_t, w_t, p0_t, r0_t, kb, scal)
 
+    ut = lambda a, C: jnp.swapaxes(a.reshape(C, B), 0, 1)
     return FootState(
-        position=p_o.T,
-        rotation=r_o.T.reshape(B, 3, 3),
-        linear_velocity=v_o.T,
-        angular_velocity=w_o.T,
+        position=ut(p_o, 3),
+        rotation=ut(r_o, 9).reshape(B, 3, 3),
+        linear_velocity=ut(v_o, 3),
+        angular_velocity=ut(w_o, 3),
     )

@@ -101,7 +101,13 @@ def make_fleet_step(
     def tick(state: FleetState, disturbance, dcm_ref, zmp_ref, poly_A, poly_b):
         # local shapes: state (B', …); disturbance (B', 1, 2) — this lane's draw
         dist = disturbance[:, 0, :]
-        omega_dt = lipm_omega(params) * jnp.asarray(dt, state.dcm.dtype)
+        # the carry's dtype is authoritative: cast every closed-over
+        # parameter before mixing, or x64-mode params silently promote the
+        # f32 fleet state to f64 across the tick (caught by the Advanceable
+        # carry-stability contract test)
+        dtype = state.dcm.dtype
+        omega_dt = (jnp.asarray(lipm_omega(params), dtype)
+                    * jnp.asarray(dt, dtype))
         a = jnp.exp(omega_dt)
 
         # ensemble-perturbed initial DCM: each model-lane solves its own draw
@@ -152,8 +158,13 @@ def make_fleet_step(
             jnp.eye(2, dtype=z0.dtype), (z0.shape[0], 2, 2)
         )
         measurement = dcm_next - (a * state.dcm + (1 - a) * z0) - true_dist
+        rls_p = RLSParams(
+            lam=jnp.asarray(rls_params.lam, dtype),
+            measurement_covariance=jnp.asarray(
+                rls_params.measurement_covariance, dtype),
+        )
         est = jax.vmap(lambda th, cv, A_, y_: rls_step(
-            rls_params, RLSState(th, cv), A_, y_
+            rls_p, RLSState(th, cv), A_, y_
         ))(state.offset_theta, state.offset_cov, regressor, measurement)
 
         new_state = FleetState(

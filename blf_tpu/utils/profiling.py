@@ -59,10 +59,12 @@ class ChipSpec:
     ``peak_flops_f32``/``peak_flops_bf16`` in FLOP/s, ``hbm_bytes_per_s`` in
     B/s. Public numbers (cloud.google.com/tpu/docs/system-architecture);
     f32 matmul on the MXU runs at half bf16 rate on all listed generations.
-    ``vpu_ops_per_s`` is the elementwise-unit ceiling used to score
-    VPU-heavy kernels; the v5e value is *measured on this project's own
-    pure-VPU rollout kernel* (see ``benchmarks/rollout_bench.py``), other
-    generations are scaled by peak-FLOP ratio (estimates, marked so).
+    ``vpu_ops_per_s`` is the elementwise-unit *issue-rate* ceiling used to
+    score VPU-heavy kernels: 8×128 lanes × 4 ALUs × ~1 GHz ≈ 4 T op/s on
+    v5e (architectural estimate; other generations scaled by peak-FLOP
+    ratio). It is an upper bound — long dependent elementwise chains bound
+    instead on VMEM round-trip bandwidth (~2.9 TB/s measured, see
+    :func:`foot_rollout_cost`), which SOL.md reports alongside.
     """
 
     name: str
@@ -180,6 +182,14 @@ def foot_rollout_cost(B: int, steps: int, dtype_bytes: int = 4) -> KernelCost:
     ~60, Baumgarte S⁻¹ adjugate ~70, Ṙ assembly ~90, Euler update ~36 —
     ≈ 360 VPU ops per lane-step (counted to ±10%; the SOL fraction quoted
     for this kernel inherits that uncertainty).
+
+    Measured reality (SOL.md): the kernel sustains ~0.24 T op/s on v5e,
+    invariant to block size and chunk interleave — every intermediate of
+    the long dependent per-step chain makes a VMEM round trip (~3 accesses
+    per op ≈ 2.9 TB/s, the sustainable VMEM bandwidth), so the issue-rate
+    roofline in ``vpu_ops_per_s`` is unreachable for this op structure.
+    The HBM ``bytes`` below stay the load/store-once fusion win over the
+    XLA path (measured 640×).
     """
     vpu = 360.0 * B * steps
     useful = vpu  # every op is algorithmically necessary scalar work
@@ -447,7 +457,7 @@ def main() -> None:  # pragma: no cover - exercised on hardware
     rows = []
     iters = 50
 
-    for horizon, batch in ((16, 98304), (32, 49152)):
+    for horizon, batch in ((16, 98304), (32, 98304)):
         params = LIPMParams(jnp.asarray(0.9, dtype), jnp.asarray(9.81, dtype))
         zmp_ref = jnp.zeros((horizon, 2), dtype)
         dcm_ref = jnp.zeros((horizon + 1, 2), dtype)

@@ -165,3 +165,78 @@ class TestSharded:
         bad = random_lqr(T=18, nx=3, nu=2, rng=np.random.default_rng(10))
         with pytest.raises(ValueError, match="not divisible"):
             solve_lqr_sharded(*bad, mesh, "seq")
+
+
+class TestGeneralParallelValue:
+    """parallel_value_general: the SQP-shaped subproblem (cross terms +
+    linear costs) in O(log T) depth must match the sequential backward."""
+
+    def _problem(self, T=24, nx=5, nu=3, seed=0):
+        rng = np.random.default_rng(seed)
+        A = jnp.asarray(np.stack([np.eye(nx) + 0.08 * rng.normal(size=(nx, nx))
+                                  for _ in range(T)]))
+        B = jnp.asarray(rng.normal(size=(T, nx, nu)) * 0.4)
+        lx = jnp.asarray(rng.normal(size=(T, nx)) * 0.3)
+        lu = jnp.asarray(rng.normal(size=(T, nu)) * 0.3)
+        Ms = rng.normal(size=(T, nx, nx))
+        lxx = jnp.asarray(Ms @ np.swapaxes(Ms, -1, -2) * 0.1
+                          + np.eye(nx) * 0.5)
+        Mu = rng.normal(size=(T, nu, nu))
+        luu = jnp.asarray(Mu @ np.swapaxes(Mu, -1, -2) * 0.1 + np.eye(nu))
+        lux = jnp.asarray(rng.normal(size=(T, nu, nx)) * 0.2)
+        VxT = jnp.asarray(rng.normal(size=nx))
+        MT = rng.normal(size=(nx, nx))
+        VxxT = jnp.asarray(MT @ MT.T * 0.1 + np.eye(nx) * 2.0)
+        return A, B, lx, lu, lxx, luu, lux, VxT, VxxT
+
+    def _sequential(self, A, B, lx, lu, lxx, luu, lux, VxT, VxxT):
+        T = A.shape[0]
+        Vx, Vxx = np.asarray(VxT), np.asarray(VxxT)
+        Vxs, Vxxs = [Vx], [Vxx]
+        for k in reversed(range(T)):
+            Ak, Bk = np.asarray(A[k]), np.asarray(B[k])
+            Qx = np.asarray(lx[k]) + Ak.T @ Vx
+            Qu = np.asarray(lu[k]) + Bk.T @ Vx
+            Qxx = np.asarray(lxx[k]) + Ak.T @ Vxx @ Ak
+            Quu = np.asarray(luu[k]) + Bk.T @ Vxx @ Bk
+            Qux = np.asarray(lux[k]) + Bk.T @ Vxx @ Ak
+            K = np.linalg.solve(Quu, Qux)
+            kff = np.linalg.solve(Quu, Qu)
+            Vx = Qx + K.T @ Quu @ kff - K.T @ Qu - Qux.T @ kff
+            Vxx = Qxx + K.T @ Quu @ K - K.T @ Qux - Qux.T @ K
+            Vxx = 0.5 * (Vxx + Vxx.T)
+            Vxs.append(Vx); Vxxs.append(Vxx)
+        return np.stack(Vxs[::-1]), np.stack(Vxxs[::-1])
+
+    def test_matches_sequential_backward(self):
+        from blf_tpu.mpc.riccati import parallel_value_general
+
+        prob = self._problem()
+        Vxs_ref, Vxxs_ref = self._sequential(*prob)
+        Vxs, Vxxs = parallel_value_general(*prob)
+        np.testing.assert_allclose(np.asarray(Vxs), Vxs_ref,
+                                   atol=tol(1e-8, 1e-3))
+        np.testing.assert_allclose(np.asarray(Vxxs), Vxxs_ref,
+                                   atol=tol(1e-8, 1e-3))
+
+    def test_reduces_to_plain_lqr(self):
+        """No cross/linear terms: the general pass must equal solve_lqr's
+        parallel value function."""
+        from blf_tpu.mpc.riccati import parallel_value_general, solve_lqr
+
+        rng = np.random.default_rng(3)
+        T, nx, nu = 16, 4, 2
+        Fs = jnp.asarray(np.stack([np.eye(nx) + 0.05 * rng.normal(size=(nx, nx))
+                                   for _ in range(T)]))
+        Ls = jnp.asarray(rng.normal(size=(T, nx, nu)) * 0.3)
+        Qs = jnp.asarray(np.stack([np.eye(nx)] * T))
+        Rs = jnp.asarray(np.stack([np.eye(nu) * 0.5] * T))
+        QT = jnp.asarray(np.eye(nx) * 5.0)
+        cs = jnp.zeros((T, nx))
+        x0 = jnp.asarray(rng.normal(size=nx))
+        ref = solve_lqr(Fs, cs, Ls, Qs, Rs, QT, x0, parallel=True)
+        Vxs, Vxxs = parallel_value_general(
+            Fs, Ls, jnp.zeros((T, nx)), jnp.zeros((T, nu)), Qs, Rs,
+            jnp.zeros((T, nu, nx)), jnp.zeros(nx), QT)
+        np.testing.assert_allclose(np.asarray(Vxxs), np.asarray(
+            ref.value_matrices), atol=tol(1e-8, 1e-4))
