@@ -225,7 +225,10 @@ def solve_dcm_mpc(
     # (a = e^{ω·dt} > 1), so over a long gait horizon that recursion
     # amplifies dtype rounding by a^T (≈1e13 at T = 96, ω·dt ≈ 0.33; f32
     # trajectories exploded to ±5e4 while the QP itself was converged —
-    # caught by the f32 test lane).
+    # caught by the f32 test lane). Consequence (ADVICE r3): plan.dcm/com
+    # satisfy the DCM dynamics only up to the QP residual — on
+    # iteration-capped unconverged lanes, gate on plan.qp.converged before
+    # consuming them as dynamically consistent trajectories.
     dcm_knots = jnp.stack(
         [sol.x[..., 0:N], sol.x[..., N:2 * N]], axis=-1
     )  # (…, N, 2) = ξ_{1..N}

@@ -47,12 +47,16 @@ Matmul modes (per-GEMM MXU passes → accuracy):
 - ``"delta"`` (throughput default): **delta-form accumulation**. The
   recursion is rewritten on increments — ``t_k = t_{k-1} + Gᵀρ·Δŵ`` with
   ``Δŵ = ŵ_k − ŵ_{k-1}`` — so the bf16 *input* rounding error is relative
-  to ‖Δŵ‖, which contracts to 0 with the iteration: the fixed point is NOT
-  shifted by input quantisation (the telescoped sum is exactly ``Gᵀρ·ŵ_k``
-  for the bf16-rounded operator). The operator itself is applied as a hi/lo
-  bf16 split pair (2 passes, operator error ~2⁻¹⁸); iteration 1 applies the
-  full ``ŵ`` with a 3-pass input split so the one-time ‖ŵ₁‖·2⁻⁹ input kick
-  never enters the history. Per-iteration cost: 2 GEMM passes per product.
+  to ‖Δŵ‖, which contracts to 0 with the iteration. The telescoped operand
+  is ``ŵ₁ + Σ bf16(Δŵ_j)``, which carries a bounded accumulation bias
+  (≲ 2⁻⁹·‖ŵ₁ − ŵ*‖ summed over the contracting increments on a cold
+  start, smaller warm) — NOT exact cancellation; each stage boundary's
+  fresh 3-pass first iteration resets the bias, and the solver's 1e-4
+  residual contract is what the tests pin. The operator itself is applied
+  as a hi/lo bf16 split pair (2 passes, operator error ~2⁻¹⁸); iteration 1
+  applies the full ``ŵ`` with a 3-pass input split so the one-time
+  ‖ŵ₁‖·2⁻⁹ input kick never enters the history. Per-iteration cost: 2 GEMM
+  passes per product.
 - ``"split"``: stateless 3-pass split-f32 products (rel. err ≲ 2⁻¹⁷),
   bit-comparable to the refined XLA path's unrefined fixed point.
 - ``"f32"``: 6-pass ``Precision.HIGHEST`` products (bit-compatible with the
@@ -305,8 +309,11 @@ def admm_stage_t(
         block_lanes //= 2
     if block_lanes < 1:
         raise ValueError(f"batch {B} not tileable")
+    # chunked column sub-tiles need 128-lane alignment; chunks=1 uses the
+    # full block width (any lane count — Mosaic pads), so never drop below 1
+    # (ADVICE r3: the unguarded loop div-by-zeroed on B < 128 or B % 128)
     chunks = max(1, min(chunks, block_lanes // 128))
-    while block_lanes % (chunks * 128):
+    while chunks > 1 and block_lanes % (chunks * 128):
         chunks -= 1
 
     grid = (B // block_lanes,)

@@ -34,6 +34,16 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["foot_rollout_fused"]
 
 GRAVITY_Z = -9.81
+SUB_PAD = 8
+
+
+def _pad_coeff(c, B, Bp):
+    """Pad a per-lane (B,) contact coefficient to Bp lanes; scalars pass."""
+    a = jnp.asarray(c)
+    if a.ndim == 0 or a.reshape(-1).shape[0] == 1:
+        return c
+    a = a.reshape(-1)
+    return jnp.concatenate([a, jnp.broadcast_to(a[:1], (Bp - B,))])
 
 
 def _cross(a, b):
@@ -197,6 +207,24 @@ def foot_rollout_fused(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B = state.position.shape[0]
+    # sublane tiling needs B % 8 == 0: pad odd batches by replicating lane 0
+    # (lanes are independent; the tail is discarded) — ADVICE r3 low #2
+    if B % SUB_PAD:
+        Bp = -(-B // SUB_PAD) * SUB_PAD
+        pad = lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[:1], (Bp - B,) + a.shape[1:])], axis=0)
+        out = foot_rollout_fused(
+            cparams._replace(
+                spring_coeff=_pad_coeff(cparams.spring_coeff, B, Bp),
+                damper_coeff=_pad_coeff(cparams.damper_coeff, B, Bp)),
+            fparams,
+            jax.tree_util.tree_map(pad, state),
+            pad(jnp.broadcast_to(null_position, (B, 3))),
+            pad(jnp.broadcast_to(null_rotation, (B, 3, 3))),
+            dt=dt, steps=steps, block_lanes=block_lanes, chunks=chunks,
+            interpret=interpret,
+        )
+        return jax.tree_util.tree_map(lambda a: a[:B], out)
     dtype = state.position.dtype
     SUB = 8
     # Mosaic requires the block's lane dim to be a multiple of 128 (or the

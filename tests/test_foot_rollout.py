@@ -105,6 +105,19 @@ class TestFootRollout:
                 np.asarray(getattr(ref, name)),
                 atol=2e-5, err_msg=name)
 
+    def test_pallas_pads_odd_batches(self):
+        """ADVICE r3 regression: B % 8 != 0 batches must pad (replicating a
+        lane, discarding the tail) instead of raising."""
+        cp, fp, state, p0, R0 = make_problem(B=13)
+        args = dict(dt=1e-3, steps=50)
+        ref = foot_rollout(cp, fp, state, p0, R0, backend="xla", **args)
+        fused = foot_rollout(cp, fp, state, p0, R0, backend="pallas", **args)
+        for name in FootState._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(fused, name)),
+                np.asarray(getattr(ref, name)),
+                atol=2e-5, err_msg=name)
+
     def test_pallas_per_lane_stiffness(self):
         """Per-lane (B,) spring/damper coefficients (identification sweeps)."""
         cp, fp, state, p0, R0 = make_problem(B=256)

@@ -98,6 +98,29 @@ class TestPallasBackend:
         assert s.x.shape == (100, 4 * N)
         assert np.all(np.isfinite(np.asarray(s.x)))
 
+    def test_stage_kernel_accepts_unaligned_small_batches(self):
+        """ADVICE r3 regression: admm_stage at B < 128 / B % 128 != 0 used to
+        ZeroDivisionError in the chunk-snap loop; chunks=1 must run the full
+        block width instead."""
+        from blf_tpu.ops.pallas.admm import admm_stage
+
+        P, q, A, l, u = fleet_problem(B=100)
+        is_eq = jnp.all((u - l) < 1e-12, axis=0)
+        f = factor_shared_qp(P, A, is_eq)
+        m, n = f.A_s.shape
+        B = l.shape[0]
+        qs = f.c * (q * f.D)
+        gq = jnp.broadcast_to(qs @ f.W, (B, n))
+        v = jnp.zeros((B, m), DTYPE)
+        tau = jnp.zeros((B, n), DTYPE)
+        s = jnp.ones((B, 1), DTYPE)
+        lb = jnp.broadcast_to(f.E * l, (B, m))
+        ub = jnp.broadcast_to(f.E * u, (B, m))
+        v2, tau2 = admm_stage(v, tau, s, gq, lb, ub, f.G2, f.d, f.base_rho,
+                              iters=10, alpha=1.6)
+        assert v2.shape == (B, m) and tau2.shape == (B, n)
+        assert np.all(np.isfinite(np.asarray(v2)))
+
     def test_factored_api_reuses_plant(self):
         """factor once, solve many — the tick-loop shape."""
         P, q, A, l, u = fleet_problem(B=256)
