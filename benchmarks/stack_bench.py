@@ -75,9 +75,14 @@ def main(batch: int = 512) -> None:
                     dtype) + half,
         (horizon, 4),
     )
+    # production operating point (r4): stiff ROS2-W plant at 4 substeps
+    # (closed-loop parity with the 40-substep RK4 plant pinned by
+    # tests/test_control_stack.py::TestStiffPlant), WBC ADMM warm-started
+    # across ticks with per-lane adaptive ρ + a low-ρ dual polish tail
     config = StackConfig(mpc_dt=0.1, horizon=horizon, wbc_per_mpc=10,
-                         physics_per_wbc=40, mpc_iterations=60,
-                         wbc_iterations=250)
+                         physics_per_wbc=4, plant_method="rosenbrock",
+                         mpc_iterations=60, wbc_iterations=100,
+                         wbc_check_every=25, wbc_polish_iters=25)
     null_poses = {}
     for f in HUMANOID_SOLE_FRAMES:
         _, p0 = frame_pose(tree, poses, f)
@@ -127,7 +132,10 @@ def main(batch: int = 512) -> None:
     # exists — BASELINE.json configs[3] asks for the measurement)
     bar = 100.0
 
+    from blf_tpu.utils.status import status_counts
+
     finite = bool(jnp.all(jnp.isfinite(state.plant.base_position)))
+    counts = status_counts(trace.status)
     print(json.dumps({
         "metric": "stack_outer_ticks_per_sec_per_chip",
         "value": round(ticks_per_sec, 2),
@@ -141,6 +149,9 @@ def main(batch: int = 512) -> None:
                                         * realtime_stacks, 0),
             "mpc_converged": int(jnp.sum(trace.mpc_converged)),
             "wbc_converged": int(jnp.sum(trace.wbc_converged)),
+            "wbc_converged_frac": round(
+                float(jnp.mean(trace.wbc_converged.astype(jnp.float32))), 4),
+            "status_counts": counts,
             "wbc_max_rp": float(jnp.max(trace.wbc_max_rp)),
             "wbc_median_rp": float(jnp.median(trace.wbc_max_rp)),
             "wbc_max_rd": float(jnp.max(trace.wbc_max_rd)),
@@ -149,8 +160,10 @@ def main(batch: int = 512) -> None:
             "compile_s": round(compile_s, 1),
             "config": {"horizon": horizon, "wbc_per_mpc": config.wbc_per_mpc,
                        "physics_per_wbc": config.physics_per_wbc,
+                       "plant_method": config.plant_method,
                        "mpc_iterations": config.mpc_iterations,
-                       "wbc_iterations": config.wbc_iterations},
+                       "wbc_iterations": config.wbc_iterations,
+                       "wbc_polish_iters": config.wbc_polish_iters},
             "device": str(jax.devices()[0]),
             "dtype": "float32",
         },

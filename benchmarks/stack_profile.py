@@ -112,14 +112,14 @@ def main(batch: int = 256) -> None:
 
     results = {"batch": batch}
 
-    # -- full tick -----------------------------------------------------------
-    full = jax.jit(jax.vmap(
-        lambda st, p: step(st, p, dcm_ref, zmp_ref, poly_A, poly_b)))
-    t0 = time.perf_counter()
-    out = full(state, pushes)
-    jax.block_until_ready(out)
-    results["full_tick_compile_s"] = round(time.perf_counter() - t0, 1)
-    results["full_tick_s"] = round(timed(full, state, pushes), 4)
+    if "--full" in sys.argv:
+        full = jax.jit(jax.vmap(
+            lambda st, p: step(st, p, dcm_ref, zmp_ref, poly_A, poly_b)))
+        t0 = time.perf_counter()
+        out = full(state, pushes)
+        jax.block_until_ready(out)
+        results["full_tick_compile_s"] = round(time.perf_counter() - t0, 1)
+        results["full_tick_s"] = round(timed(full, state, pushes), 4)
 
     # -- MPC alone -----------------------------------------------------------
     @jax.jit

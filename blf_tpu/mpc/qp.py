@@ -85,13 +85,34 @@ def solve_qp(
     check_every: int = 25,
     x0: Optional[jnp.ndarray] = None,
     y0: Optional[jnp.ndarray] = None,
+    s0: Optional[jnp.ndarray] = None,
     unroll: int = 1,
+    kkt_inverse: bool = True,
+    polish_iters: int = 0,
+    polish_scale: float = 0.01,
 ) -> QPSolution:
     """Solve ``min ½xᵀPx + qᵀx s.t. l ≤ Ax ≤ u`` with fixed-iteration ADMM.
 
     Shapes: ``P`` (…, n, n) SPSD, ``q`` (…, n), ``A`` (…, m, n), ``l``/``u``
     (…, m) (use ∓∞ for one-sided rows, ``l == u`` for equalities). ``x0``/``y0``
-    warm-start the iteration — the key latency lever in receding-horizon MPC.
+    warm-start the iteration — the key latency lever in receding-horizon MPC —
+    and ``s0`` (…,) or (…, 1) warm-starts the per-lane adaptive ρ multiplier
+    (returned as ``QPSolution.rho_scale``).
+
+    ``kkt_inverse=True`` (default) applies the per-stage KKT factor as an
+    explicit inverse: one extra batched triangular solve per *stage* buys
+    per-*iteration* x-steps that are plain batched matvecs instead of
+    sequential triangular substitutions — on TPU the triangular solve is the
+    latency chain, so this is the difference between the solver running at
+    dispatch floor and at math throughput. One iterative-refinement pass
+    against the exact KKT keeps the x-step error at the cho_solve level
+    (~cond·eps²·‖rhs‖ after refinement).
+
+    ``polish_iters > 0`` appends a ρ-continuation dual polish stage at
+    ``rho_scale·polish_scale`` — same rationale as
+    :func:`solve_qp_factored`: in f32 the dual update granularity is
+    ``ρ·eps(|z|)``, so a short low-ρ tail settles y below the main loop's
+    floor while the converged primal holds.
 
     ``scaling_iters`` rounds of Ruiz equilibration precondition the problem
     (OSQP's scaling): essential for one jitted solve to handle thousands of
@@ -163,24 +184,38 @@ def solve_qp(
     zero_m = jnp.where(jnp.isnan(zero_m), 0.0, zero_m)  # ±inf bounds → 0·inf = nan
     y = jnp.broadcast_to(zero_m if y0 is None else y0 + zero_m, batch + (m,))
 
-    def run_stage(x, z, y, rho_scale):
-        """`check_every` ADMM iterations at a fixed per-lane ρ (refactored)."""
+    def run_stage(x, z, y, rho_scale, iters):
+        """`iters` ADMM iterations at a fixed per-lane ρ (refactored)."""
         rho_vec = base_rho * rho_scale[..., None]           # (batch, m)
-        kkt = (
+        kkt = jnp.broadcast_to(
             P
             + sigma * jnp.eye(n, dtype=dtype)
-            + _einsum("...nm,...m,...mk->...nk", At, rho_vec, A)
+            + _einsum("...nm,...m,...mk->...nk", At, rho_vec, A),
+            batch + (n, n),
         )
-        chol = jnp.linalg.cholesky(
-            jnp.broadcast_to(kkt, batch + (n, n))
-        )
+        chol = jnp.linalg.cholesky(kkt)
+        if kkt_inverse:
+            Kinv = jax.scipy.linalg.cho_solve(
+                (chol, True), jnp.broadcast_to(jnp.eye(n, dtype=dtype),
+                                               batch + (n, n)))
+
+            def kkt_solve(rhs):
+                # inverse-apply + one refinement pass against the exact KKT:
+                # matvec-only per iteration (TPU throughput path, see docstring)
+                x1 = _einsum("...ij,...j->...i", Kinv, rhs)
+                r = rhs - _einsum("...ij,...j->...i", kkt, x1)
+                return x1 + _einsum("...ij,...j->...i", Kinv, r)
+        else:
+            def kkt_solve(rhs):
+                return jax.scipy.linalg.cho_solve(
+                    (chol, True), rhs[..., None])[..., 0]
 
         def body(carry, _):
             x, z, y = carry
             rhs = sigma * x - q + _einsum(
                 "...nm,...m->...n", At, rho_vec * z - y
             )
-            x_tilde = jax.scipy.linalg.cho_solve((chol, True), rhs[..., None])[..., 0]
+            x_tilde = kkt_solve(rhs)
             x_next = alpha * x_tilde + (1 - alpha) * x
             Ax_tilde = _einsum("...mn,...n->...m", A, x_tilde)
             z_relaxed = alpha * Ax_tilde + (1 - alpha) * z
@@ -189,7 +224,7 @@ def solve_qp(
             return (x_next, z_next, y_next), None
 
         (x, z, y), _ = jax.lax.scan(
-            body, (x, z, y), None, length=check_every, unroll=unroll
+            body, (x, z, y), None, length=iters, unroll=unroll
         )
         return x, z, y
 
@@ -198,7 +233,7 @@ def solve_qp(
 
     def stage(carry, _):
         x, z, y, rho_scale = carry
-        x, z, y = run_stage(x, z, y, rho_scale)
+        x, z, y = run_stage(x, z, y, rho_scale, check_every)
         # OSQP adaptive ρ: balance relative primal vs dual residuals per lane.
         Ax = _einsum("...mn,...n->...m", A, x)
         Px_ = _einsum("...nm,...m->...n", P, x)
@@ -217,10 +252,27 @@ def solve_qp(
         )
         return (x, z, y, rho_scale), None
 
-    rho_scale = jnp.broadcast_to(x[..., 0] * 0 + 1, batch)
+    if s0 is None:
+        rho_scale = jnp.broadcast_to(x[..., 0] * 0 + 1, batch)
+    else:
+        s0 = jnp.asarray(s0, dtype)
+        if s0.ndim and s0.shape[-1] == 1 and s0.ndim > len(batch):
+            s0 = s0[..., 0]
+        rho_scale = jnp.broadcast_to(s0 + x[..., 0] * 0, batch)
     (x, z, y, rho_scale), _ = jax.lax.scan(
         stage, (x, z, y, rho_scale), None, length=n_stages
     )
+
+    if polish_iters > 0:
+        # ρ-continuation dual polish (see docstring): the KKT point is a
+        # fixed point for EVERY ρ, so a short low-ρ stage only refines the
+        # duals' settling granularity; rho_scale itself keeps the adapted
+        # operating point for the next warm-started tick.
+        x, z, y = run_stage(
+            x, z, y,
+            jnp.clip(rho_scale * jnp.asarray(polish_scale, dtype), 1e-6, 1e6),
+            polish_iters,
+        )
 
     # -- unscale and report residuals in the original problem ----------------
     x = D * x
@@ -244,7 +296,8 @@ def solve_qp(
     objective = 0.5 * _einsum("...n,...nm,...m->...", x, P_orig, x) + _einsum(
         "...n,...n->...", q_orig, x
     )
-    return QPSolution(x, y, z, r_prim, r_dual, converged, objective)
+    return QPSolution(x, y, z, r_prim, r_dual, converged, objective,
+                      rho_scale=rho_scale[..., None])
 
 
 @_f32_matmuls

@@ -58,9 +58,14 @@ from blf_tpu.mpc.wholebody import (
     build_wholebody_qp,
     solve_wholebody_qp,
 )
-from blf_tpu.ops.integrators import integrate
+from blf_tpu.ops.integrators import (
+    integrate,
+    integrate_rosenbrock,
+    rosenbrock_operator,
+)
 from blf_tpu.ops.precision import f32_matmuls
 from blf_tpu.ops.lie import so3_log
+from blf_tpu.utils.status import SolverStatus, nan_quarantine
 
 __all__ = ["StackConfig", "StackState", "StackTrace", "init_stack",
            "make_stack_step"]
@@ -73,14 +78,24 @@ class StackConfig(NamedTuple):
     mpc_dt: float = 0.1             # outer replan period [s]
     horizon: int = 16               # MPC knots
     wbc_per_mpc: int = 10           # inner ticks per outer tick (→ 100 Hz)
-    physics_per_wbc: int = 40       # plant RK4 substeps per inner tick —
-                                    # the sole-ground modes on the light
-                                    # (0.6 kg) foot links need ~0.25 ms for
-                                    # RK4 accuracy/stability (measured: 1 ms
-                                    # diverges, 0.25 ms matches 0.1 ms)
+    physics_per_wbc: int = 40       # plant substeps per inner tick. With
+                                    # plant_method="rk4" the sole-ground
+                                    # modes on the light (0.6 kg) foot links
+                                    # need ~0.25 ms (40 substeps) for
+                                    # stability (measured: 1 ms diverges,
+                                    # 0.25 ms matches 0.1 ms); the L-stable
+                                    # "rosenbrock" plant runs 4 substeps
+                                    # (2.5 ms) at equal closed-loop accuracy
+    plant_method: str = "rk4"       # "rk4" (explicit, reference-faithful) or
+                                    # "rosenbrock" (stiff ROS2-W, one lagged
+                                    # stage operator per OUTER tick — the
+                                    # production/bench integrator; accuracy
+                                    # pinned by tests/test_control_stack.py)
     ground_sag: float = 2e-3        # static ground compression per foot [m]
     mpc_iterations: int = 60
     wbc_iterations: int = 250
+    wbc_check_every: int = 25       # ADMM stage length (ρ-adaptation cadence)
+    wbc_polish_iters: int = 0       # low-ρ dual-polish tail (solve_qp)
     dcm_gain: float = 1.2           # k_ξ of the instantaneous DCM controller
     height_kp: float = 100.0
     height_kd: float = 20.0
@@ -109,6 +124,9 @@ class StackState(NamedTuple):
     warm_zmp: jnp.ndarray           # (N, 2) previous MPC plan
     warm_y: jnp.ndarray             # (M,) previous MPC duals
     warm_s: jnp.ndarray             # (1,) adapted ADMM ρ multiplier
+    warm_wbc_x: jnp.ndarray         # (nx,) previous WBC primal (tick-to-tick)
+    warm_wbc_y: jnp.ndarray         # (mw,) previous WBC duals
+    warm_wbc_s: jnp.ndarray         # (1,) adapted WBC ADMM ρ multiplier
 
 
 class StackTrace(NamedTuple):
@@ -122,6 +140,10 @@ class StackTrace(NamedTuple):
     wbc_converged: jnp.ndarray      # () bool: all inner ticks converged
     wbc_max_rp: jnp.ndarray         # () worst inner-tick WBC primal residual
     wbc_max_rd: jnp.ndarray         # () worst inner-tick WBC dual residual
+    status: jnp.ndarray             # () int32 SolverStatus: worst of MPC /
+    #   WBC / plant-finiteness this tick (failure handling as data,
+    #   SURVEY.md §5; lanes at NUMERICAL_ERROR are quarantined — reset to
+    #   the pre-tick state with cleared warm starts, like the fleet tick)
 
 
 def _com_state(tree, lipm, state):
@@ -141,14 +163,19 @@ def init_stack(
     config: StackConfig,
     plant: rb.FloatingBaseState,
     num_constraints: int,
+    num_contacts: int = 2,
 ) -> StackState:
     """Stack state at rest: observer seeded at p(0), zero push estimate,
-    zero MPC warm starts."""
+    zero MPC and WBC warm starts (``num_contacts`` sizes the WBC decision/
+    constraint vectors — see :mod:`blf_tpu.mpc.wholebody`)."""
     dtype = plant.joint_positions.dtype
     _, obs = init_momentum_observer(
         tree, plant, config.observer_gain,
         config.mpc_dt / config.wbc_per_mpc,
     )
+    n, nv, C = tree.num_dofs, tree.nv, num_contacts
+    nx = nv + 6 * C + n
+    mw = nv + 6 * C + 11 * C + n
     return StackState(
         plant=plant,
         observer=obs,
@@ -157,6 +184,9 @@ def init_stack(
         warm_zmp=jnp.zeros((config.horizon, 2), dtype),
         warm_y=jnp.zeros((num_constraints,), dtype),
         warm_s=jnp.ones((1,), dtype),
+        warm_wbc_x=jnp.zeros((nx,), dtype),
+        warm_wbc_y=jnp.zeros((mw,), dtype),
+        warm_wbc_s=jnp.ones((1,), dtype),
     )
 
 
@@ -259,25 +289,41 @@ def make_stack_step(
         posture_ref = (stack.plant.joint_positions if q_ref is None
                        else jnp.asarray(q_ref, dtype))
 
-        # WBC warm starts across inner ticks: the 100 Hz problems are
-        # near-identical tick to tick, so the previous primal/dual seed cuts
-        # the iterations-to-tolerance the way the MPC loop's warm starts do
-        # (first inner tick of each outer tick is cold — the plan changed)
-        zero_task = WholeBodyTask(
-            com_acc_des=jnp.zeros(3, dtype),
-            base_ang_acc_des=jnp.zeros(3, dtype),
-            posture_acc_des=jnp.zeros_like(stack.plant.joint_positions),
-            contact_active=jnp.ones(len(wbc_params.contact_frames), dtype),
-        )
-        qp_shapes = jax.eval_shape(
-            lambda s: build_wholebody_qp(tree, wbc_params, s, zero_task),
-            stack.plant,
-        )
-        wbc_x0 = jnp.zeros(qp_shapes[1].shape, dtype)
-        wbc_y0 = jnp.zeros(qp_shapes[3].shape, dtype)
+        # WBC warm starts: the 100 Hz problems are near-identical tick to
+        # tick (and across the outer-tick boundary — the plant state is
+        # continuous even when the plan replans), so primal/dual AND the
+        # adapted per-lane ρ multiplier carry through StackState exactly as
+        # the MPC loop's warm starts do.
+
+        # plant: torques drive the joints; the ground reaction emerges from
+        # the spring–damper sole contact; the TRUE push (invisible to the
+        # controller) acts at the push frame
+        push_wrench = jnp.concatenate([true_push_xy, jnp.zeros(4, dtype)])
+
+        def fdyn(s, tau, t):
+            poses_s = forward_kinematics(
+                tree, s.base_position, s.base_rotation, s.joint_positions)
+            wrenches_s = _ground_wrenches(s, poses_s)
+            wrenches_s[push_frame] = push_wrench
+            return rb.floating_base_dynamics(
+                tree, s,
+                rb.FloatingBaseInput(joint_torques=tau,
+                                     contact_wrenches=wrenches_s),
+                t, rho=1.0)
+
+        # stiff-plant stage operator, ONE per outer tick (W-method: the
+        # lagged Jacobian keeps L-stability of the sole-ground modes, which
+        # move on pose timescales — see ops.integrators.integrate_rosenbrock)
+        if config.plant_method == "rosenbrock":
+            zero_tau = jnp.zeros_like(stack.plant.joint_positions)
+            ros_op = rosenbrock_operator(
+                fdyn, stack.plant, u=zero_tau, dt=physics_dt)
+        elif config.plant_method != "rk4":
+            raise ValueError(
+                f"unknown plant_method {config.plant_method!r}")
 
         def inner(carry, k):
-            plant, obs, theta, cov, x_w, y_w = carry
+            plant, obs, theta, cov, x_w, y_w, s_w = carry
             com, com_vel, dcm = _com_state(tree, lipm, plant)
             # interpolate the MPC plan between knots 0 and 1
             frac = (k.astype(dtype) + 1.0) / config.wbc_per_mpc
@@ -301,33 +347,22 @@ def make_stack_step(
             )
             eps = config.wbc_eps if config.wbc_eps is not None else (
                 1e-5 if jnp.finfo(dtype).bits >= 64 else 1e-4)
-            cold = (k == 0).astype(dtype)
             sol = solve_wholebody_qp(tree, wbc_params, plant, task,
                                      iterations=config.wbc_iterations,
-                                     x0=(1.0 - cold) * x_w,
-                                     y0=(1.0 - cold) * y_w,
+                                     x0=x_w, y0=y_w, s0=s_w,
+                                     check_every=config.wbc_check_every,
+                                     polish_iters=config.wbc_polish_iters,
                                      eps_abs=eps, eps_rel=eps)
 
-            # plant: torques drive the joints; the ground reaction emerges
-            # from the spring–damper sole contact; the TRUE push (invisible
-            # to the controller) acts at the push frame
-            push_wrench = jnp.concatenate(
-                [true_push_xy, jnp.zeros(4, dtype)])
-
-            def fdyn(s, tau, t):
-                poses_s = forward_kinematics(
-                    tree, s.base_position, s.base_rotation, s.joint_positions)
-                wrenches_s = _ground_wrenches(s, poses_s)
-                wrenches_s[push_frame] = push_wrench
-                return rb.floating_base_dynamics(
-                    tree, s,
-                    rb.FloatingBaseInput(joint_torques=tau,
-                                         contact_wrenches=wrenches_s),
-                    t, rho=1.0)
-
-            plant_next = integrate(fdyn, plant, dt=physics_dt,
-                                   num_steps=config.physics_per_wbc,
-                                   u=sol.torques, method="rk4")
+            if config.plant_method == "rosenbrock":
+                plant_next = integrate_rosenbrock(
+                    fdyn, plant, dt=physics_dt,
+                    num_steps=config.physics_per_wbc,
+                    u=sol.torques, operator=ros_op)
+            else:
+                plant_next = integrate(fdyn, plant, dt=physics_dt,
+                                       num_steps=config.physics_per_wbc,
+                                       u=sol.torques, method="rk4")
 
             # estimators: observer tick at the WBC rate. The plant's contact
             # wrenches at the sample ARE the foot F/T sensor readings, so
@@ -351,15 +386,15 @@ def make_stack_step(
             est = rls_step(rls_params, RLSState(theta, cov),
                            jnp.eye(2, dtype=dtype), push_meas)
             return ((plant_next, obs_next, est.theta, est.covariance,
-                     sol.qp.x, sol.qp.y),
+                     sol.qp.x, sol.qp.y, sol.qp.rho_scale),
                     (z_cmd, sol.qp.converged,
                      sol.qp.primal_residual, sol.qp.dual_residual))
 
-        (plant, obs, theta, cov, _, _), (
+        (plant, obs, theta, cov, wbc_x, wbc_y, wbc_s), (
             z_cmds, wbc_conv, wbc_rps, wbc_rds) = jax.lax.scan(
             inner,
             (stack.plant, stack.observer, stack.push_theta, stack.push_cov,
-             wbc_x0, wbc_y0),
+             stack.warm_wbc_x, stack.warm_wbc_y, stack.warm_wbc_s),
             jnp.arange(config.wbc_per_mpc),
         )
 
@@ -367,14 +402,47 @@ def make_stack_step(
             plant=plant, observer=obs, push_theta=theta, push_cov=cov,
             warm_zmp=plan.zmp, warm_y=plan.qp.y,
             warm_s=plan.qp.rho_scale,
+            warm_wbc_x=wbc_x, warm_wbc_y=wbc_y, warm_wbc_s=wbc_s,
         )
+
+        # per-lane status (worst of MPC / WBC / plant finiteness) + NaN
+        # quarantine, exactly as the fleet tick (parallel/sweep.py): a lane
+        # whose tick went non-finite restarts from its pre-tick state with
+        # cleared warm starts instead of poisoning every later warm start.
+        plant_finite = jnp.stack(
+            [jnp.all(jnp.isfinite(leaf)) for leaf in plant]
+        ).all()
+        wbc_finite = (jnp.all(jnp.isfinite(wbc_rps))
+                      & jnp.all(jnp.isfinite(wbc_rds)))
+        wbc_all_conv = jnp.all(wbc_conv)
+        numerical = (~plant_finite) | (~wbc_finite)
+        converged_tick = wbc_all_conv & plan.qp.converged
+        status = jnp.where(
+            numerical, jnp.int32(SolverStatus.NUMERICAL_ERROR),
+            jnp.where(converged_tick, jnp.int32(SolverStatus.CONVERGED),
+                      jnp.int32(SolverStatus.MAX_ITERATIONS)),
+        )
+        reset = StackState(
+            plant=stack.plant, observer=stack.observer,
+            push_theta=jnp.zeros_like(stack.push_theta),
+            push_cov=jnp.eye(2, dtype=dtype) * 1e2,
+            warm_zmp=jnp.zeros_like(stack.warm_zmp),
+            warm_y=jnp.zeros_like(stack.warm_y),
+            warm_s=jnp.ones_like(stack.warm_s),
+            warm_wbc_x=jnp.zeros_like(stack.warm_wbc_x),
+            warm_wbc_y=jnp.zeros_like(stack.warm_wbc_y),
+            warm_wbc_s=jnp.ones_like(stack.warm_wbc_s),
+        )
+        new_stack = nan_quarantine(new_stack, status, reset)
+
         trace = StackTrace(
             dcm=dcm0, com=com0, zmp_cmd=z_cmds[-1],
             push_estimate=stack.push_theta,
             mpc_converged=plan.qp.converged,
-            wbc_converged=jnp.all(wbc_conv),
+            wbc_converged=wbc_all_conv,
             wbc_max_rp=jnp.max(wbc_rps),
             wbc_max_rd=jnp.max(wbc_rds),
+            status=status,
         )
         return new_stack, trace
 

@@ -31,6 +31,8 @@ __all__ = [
     "rk4_step",
     "STEP_FUNCTIONS",
     "integrate",
+    "integrate_rosenbrock",
+    "rosenbrock_operator",
 ]
 
 DynamicsFn = Callable[[Any, Any, jnp.ndarray], Any]
@@ -133,3 +135,114 @@ def integrate(
         )
         return x_final, traj
     return x_final
+
+
+def integrate_rosenbrock(
+    f: DynamicsFn,
+    x0,
+    *,
+    dt: float,
+    num_steps: int,
+    u=None,
+    t0: float = 0.0,
+    gamma: Optional[float] = None,
+    operator: Optional[jnp.ndarray] = None,
+    unroll: int = 1,
+):
+    """Stiff integrator: 2nd-order Rosenbrock-W (ROS2) with a **frozen**
+    state Jacobian, L-stable in the linearized modes.
+
+    The reference integrates its stiff contact-closed dynamics with small
+    explicit steps (``FixedStepIntegrator.tpp:48-61`` — the only stability
+    lever it has is ``dT``). On TPU that strategy is ruinous: each explicit
+    substep of an articulated plant is a long serial chain of small ops, and
+    the sole-ground spring–damper modes (|λ| ≈ 3e3/s on a 0.6 kg foot) force
+    sub-millisecond steps. This method instead treats those modes through
+    the Jacobian:
+
+        J  = ∂f/∂x at ``x0``           (one ``jacfwd`` — a 64-wide tangent
+                                        batch, vectorized, NOT 64 serial
+                                        evals)
+        M⁻¹ = (I − γ·dt·J)⁻¹           (one batched inverse, reused by
+                                        every substep)
+        k₁ = M⁻¹ f(x)
+        k₂ = M⁻¹ (f(x + dt·k₁) − 2 k₁)
+        x⁺ = x + dt·(3 k₁ + k₂)/2      (γ = 1 + 1/√2 → R(∞) = 0, order 2)
+
+    so each substep costs two dynamics evaluations plus two (D, D) matvecs —
+    MXU/VPU work — instead of four RK4 evaluations at a ~10× smaller stable
+    ``dt``. Freezing J across the call (a "W-method") preserves the linear
+    stability of the stiff contact modes, which change on pose timescales
+    (~cm of foot travel), not per-substep; accuracy vs a fine-step RK4
+    reference is pinned by ``tests/test_integrators.py`` on the humanoid
+    plant.
+
+    Args mirror :func:`integrate` (constant input ``u`` only — the WBC tick
+    holds torques zero-order). The state pytree is flattened with
+    ``ravel_pytree``; works under ``vmap``. Pass ``operator`` (from
+    :func:`rosenbrock_operator`) to reuse a lagged stage operator across
+    calls instead of recomputing J at ``x0``.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    if gamma is None:
+        gamma = 1.0 + 2.0 ** -0.5
+    flat0, unravel = ravel_pytree(x0)
+    dtype = flat0.dtype
+    dt = jnp.asarray(dt, dtype)
+    t0 = jnp.asarray(t0, dtype)
+
+    def ff(v, t):
+        return ravel_pytree(f(unravel(v), u, t))[0]
+
+    if operator is None:
+        operator = rosenbrock_operator(f, x0, u=u, dt=dt, t0=t0, gamma=gamma)
+    Minv = operator
+
+    def body(carry, _):
+        v, k = carry
+        t = t0 + k * dt
+        k1 = Minv @ ff(v, t)
+        k2 = Minv @ (ff(v + dt * k1, t + dt) - 2.0 * k1)
+        return (v + dt * (1.5 * k1 + 0.5 * k2), k + 1), None
+
+    (v_final, _), _ = jax.lax.scan(
+        body, (flat0, jnp.asarray(0, dtype)), None, length=num_steps,
+        unroll=unroll,
+    )
+    return unravel(v_final)
+
+
+def rosenbrock_operator(
+    f: DynamicsFn,
+    x,
+    *,
+    u=None,
+    dt,
+    t0=0.0,
+    gamma: Optional[float] = None,
+) -> jnp.ndarray:
+    """Precompute the ROS2 stage operator ``(I − γ·dt·J)⁻¹`` at state ``x``.
+
+    Pass the result as ``operator=`` to :func:`integrate_rosenbrock` to
+    amortize the Jacobian + inverse across several calls (e.g. one operator
+    per control tick reused by every substep window — the W-method lets the
+    Jacobian lag the state as long as the stiff modes it stabilizes move on
+    slower timescales). ``dt`` must match the substep size of the consuming
+    calls.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    if gamma is None:
+        gamma = 1.0 + 2.0 ** -0.5
+    flat, unravel = ravel_pytree(x)
+    dtype = flat.dtype
+    D = flat.shape[0]
+
+    def ff(v):
+        return ravel_pytree(f(unravel(v), u, jnp.asarray(t0, dtype)))[0]
+
+    J = jax.jacfwd(ff)(flat)                               # (D, D)
+    eye = jnp.eye(D, dtype=dtype)
+    return jnp.linalg.inv(eye - (jnp.asarray(gamma, dtype)
+                                 * jnp.asarray(dt, dtype)) * J)

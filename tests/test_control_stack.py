@@ -57,8 +57,9 @@ def standing_state():
     )
 
 
-@functools.lru_cache(maxsize=4)
-def setup(compensate=True):
+@functools.lru_cache(maxsize=8)
+def setup(compensate=True, plant_method="rk4", physics_per_wbc=40,
+          wbc_iterations=250, wbc_polish_iters=0):
     """(step_fn jitted, init StackState, refs, lipm) — cached per config so
     each compilation happens once across the module."""
     plant = standing_state()
@@ -80,8 +81,10 @@ def setup(compensate=True):
         (HORIZON, 4),
     )
     config = StackConfig(
-        mpc_dt=0.1, horizon=HORIZON, wbc_per_mpc=10, physics_per_wbc=40,
-        mpc_iterations=60, wbc_iterations=250, compensate_push=compensate,
+        mpc_dt=0.1, horizon=HORIZON, wbc_per_mpc=10,
+        physics_per_wbc=physics_per_wbc, plant_method=plant_method,
+        mpc_iterations=60, wbc_iterations=wbc_iterations,
+        wbc_polish_iters=wbc_polish_iters, compensate_push=compensate,
     )
     # ground anchors: zero-force pose one static-sag above each sole so the
     # compliant ground starts pre-loaded at the standing weight
@@ -167,3 +170,54 @@ class TestFleet:
         assert tr.dcm.shape == (3, 2)
         assert bool(jnp.all(jnp.isfinite(fleet.plant.base_position)))
         assert bool(jnp.all(jnp.isfinite(fleet.push_theta)))
+
+
+class TestStiffPlant:
+    """The production plant integrator (ROS2-W, one lagged stage operator
+    per outer tick) against the explicit-RK4 reference plant."""
+
+    def test_rosenbrock_plant_matches_rk4_closed_loop(self):
+        """Same controller, same push: the 4-substep ROS2 plant's closed-loop
+        DCM/CoM trajectory must track the 40-substep RK4 plant's to
+        millimetres over 0.4 s — the stiff sole transients it smooths decay
+        anyway; what must agree is the behavior the benchmark measures."""
+        push = (14.0, 5.0)
+        s_rk, tr_rk, stance = run(4, push)
+        step, state, refs, _, _ = setup(
+            True, plant_method="rosenbrock", physics_per_wbc=4)
+        pushv = jnp.asarray(push, state.plant.joint_positions.dtype)
+        tr_ros = []
+        for _ in range(4):
+            state, tr = step(state, pushv, *refs)
+            tr_ros.append(tr)
+        for a, b in zip(tr_ros, tr_rk):
+            np.testing.assert_allclose(np.asarray(a.dcm), np.asarray(b.dcm),
+                                       atol=3e-3)
+            np.testing.assert_allclose(np.asarray(a.com), np.asarray(b.com),
+                                       atol=3e-3)
+        np.testing.assert_allclose(
+            np.asarray(state.push_theta), np.asarray(s_rk.push_theta),
+            atol=1.5)
+
+    def test_status_and_quarantine(self):
+        """Nominal lanes report CONVERGED; a lane whose plant state is
+        poisoned mid-episode goes NUMERICAL_ERROR and is reset to its
+        pre-tick state with cleared warm starts (fleet-tick semantics)."""
+        from blf_tpu.utils.status import SolverStatus
+
+        step, state, refs, _, _ = setup(
+            True, plant_method="rosenbrock", physics_per_wbc=4)
+        push = jnp.asarray((5.0, 2.0), state.plant.joint_positions.dtype)
+        state1, tr1 = step(state, push, *refs)
+        assert int(tr1.status) == int(SolverStatus.CONVERGED)
+
+        poisoned = state1._replace(
+            plant=state1.plant._replace(
+                base_twist=state1.plant.base_twist.at[0].set(jnp.nan)))
+        state2, tr2 = step(poisoned, push, *refs)
+        assert int(tr2.status) == int(SolverStatus.NUMERICAL_ERROR)
+        # quarantine: restart from the (poisoned) pre-tick lane with NaNs
+        # sanitized and warm starts cleared — all finite again
+        assert bool(jnp.all(jnp.isfinite(
+            jax.flatten_util.ravel_pytree(state2)[0])))
+        assert float(jnp.max(jnp.abs(state2.warm_wbc_x))) == 0.0
