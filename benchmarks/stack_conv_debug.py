@@ -77,6 +77,8 @@ def main(batch=32, ticks=5):
     variants = {
         "bench(it100,pol25)": dict(wbc_iterations=100, wbc_polish_iters=25),
         "nopolish(it125)": dict(wbc_iterations=125, wbc_polish_iters=0),
+        "it150,pol25": dict(wbc_iterations=150, wbc_polish_iters=25),
+        "it200,pol25": dict(wbc_iterations=200, wbc_polish_iters=25),
         "it250,pol0": dict(wbc_iterations=250, wbc_polish_iters=0),
         "it250,pol25": dict(wbc_iterations=250, wbc_polish_iters=25),
     }
@@ -86,7 +88,7 @@ def main(batch=32, ticks=5):
             continue
         config = StackConfig(mpc_dt=0.1, horizon=horizon, wbc_per_mpc=10,
                              physics_per_wbc=4, plant_method="rosenbrock",
-                             mpc_iterations=60, wbc_check_every=25, **kw)
+                             mpc_iterations=100, wbc_check_every=25, **kw)
         step = make_stack_step(tree, wbc, lipm, config, null_poses,
                                q_ref=plant.joint_positions,
                                com_height_ref=float(com[2]))
@@ -100,15 +102,23 @@ def main(batch=32, ticks=5):
         for t in range(ticks):
             state, tr = vstep(state, pushes)
             rp = np.asarray(tr.wbc_max_rp)
+            tilt = np.asarray(state.plant.base_rotation[:, 2, 2])
+            qv = np.abs(np.asarray(state.plant.joint_velocities)).max(axis=1)
+            dcm_err = np.abs(np.asarray(tr.dcm) - np.asarray(stance)).max(1)
+            est_err = np.abs(np.asarray(state.push_theta)
+                             - np.asarray(pushes)).max(1)
             rows.append((t, float(np.median(rp)), float(rp.max()),
                          int(np.asarray(tr.wbc_converged).sum()),
                          int(np.asarray(tr.mpc_converged).sum()),
-                         float(np.abs(np.asarray(state.warm_wbc_s)).max())))
+                         float(tilt.min()), float(qv.max()),
+                         float(np.median(dcm_err)), float(dcm_err.max()),
+                         float(np.median(est_err)), float(est_err.max())))
         print(f"== {name}")
         for r in rows:
-            print("  tick %d  med_rp %.2e  max_rp %.2e  wbc_conv %d/%d  "
-                  "mpc_conv %d  max_s %.1e" % (r[0], r[1], r[2], r[3],
-                                               batch, r[4], r[5]))
+            print("  t%02d med_rp %.1e max_rp %.1e conv %d/%d mpc %d "
+                  "tilt_min %.3f qv_max %.1f dcm med/max %.3f/%.3f "
+                  "est med/max %.1f/%.1f" % ((r[0], r[1], r[2], r[3], batch)
+                                             + tuple(r[4:])))
 
 
 if __name__ == "__main__":

@@ -88,8 +88,9 @@ def solve_qp(
     s0: Optional[jnp.ndarray] = None,
     unroll: int = 1,
     kkt_inverse: bool = True,
+    kkt_refine: int = 3,
     polish_iters: int = 0,
-    polish_scale: float = 0.01,
+    polish_scale: float = 0.1,
 ) -> QPSolution:
     """Solve ``min ½xᵀPx + qᵀx s.t. l ≤ Ax ≤ u`` with fixed-iteration ADMM.
 
@@ -104,9 +105,9 @@ def solve_qp(
     per-*iteration* x-steps that are plain batched matvecs instead of
     sequential triangular substitutions — on TPU the triangular solve is the
     latency chain, so this is the difference between the solver running at
-    dispatch floor and at math throughput. One iterative-refinement pass
-    against the exact KKT keeps the x-step error at the cho_solve level
-    (~cond·eps²·‖rhs‖ after refinement).
+    dispatch floor and at math throughput. ``kkt_refine`` iterative-
+    refinement passes against the exact KKT keep the x-step error at the
+    cho_solve level (see the in-code measurement note for the default).
 
     ``polish_iters > 0`` appends a ρ-continuation dual polish stage at
     ``rho_scale·polish_scale`` — same rationale as
@@ -200,11 +201,18 @@ def solve_qp(
                                                batch + (n, n)))
 
             def kkt_solve(rhs):
-                # inverse-apply + one refinement pass against the exact KKT:
-                # matvec-only per iteration (TPU throughput path, see docstring)
+                # inverse-apply + refinement passes against the exact KKT:
+                # matvec-only per iteration (TPU throughput path, see
+                # docstring). Three passes measured necessary to match
+                # cho_solve convergence counts on the ill-conditioned
+                # walking-gait transcription in f32 (1 pass lost 5/64
+                # marginal lanes at 1e-4 tolerances, 2 passes 2/64; 3
+                # passes converged 64/64 vs cho_solve's 63).
                 x1 = _einsum("...ij,...j->...i", Kinv, rhs)
-                r = rhs - _einsum("...ij,...j->...i", kkt, x1)
-                return x1 + _einsum("...ij,...j->...i", Kinv, r)
+                for _ in range(kkt_refine):
+                    r = rhs - _einsum("...ij,...j->...i", kkt, x1)
+                    x1 = x1 + _einsum("...ij,...j->...i", Kinv, r)
+                return x1
         else:
             def kkt_solve(rhs):
                 return jax.scipy.linalg.cho_solve(
@@ -263,35 +271,51 @@ def solve_qp(
         stage, (x, z, y, rho_scale), None, length=n_stages
     )
 
+    def _finish(x, z, y):
+        """Unscale an iterate and diagnose it in the ORIGINAL problem."""
+        x = D * x
+        y = E * y / c[..., None]
+        z = z / E
+        Ax = _einsum("...mn,...n->...m", A_orig, x)
+        r_prim = jnp.max(jnp.abs(Ax - z), axis=-1)
+        Px = _einsum("...nm,...m->...n", P_orig, x)
+        Aty = _einsum("...nm,...m->...n", jnp.swapaxes(A_orig, -1, -2), y)
+        r_dual = jnp.max(jnp.abs(Px + q_orig + Aty), axis=-1)
+        # OSQP-style relative tolerances (scale-free convergence check)
+        prim_tol = eps_abs + eps_rel * jnp.maximum(
+            jnp.max(jnp.abs(Ax), axis=-1), jnp.max(jnp.abs(z), axis=-1)
+        )
+        dual_tol = eps_abs + eps_rel * jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Px), axis=-1),
+                        jnp.max(jnp.abs(Aty), axis=-1)),
+            jnp.max(jnp.abs(q_orig), axis=-1),
+        )
+        return x, z, y, r_prim, r_dual, prim_tol, dual_tol
+
+    cand = _finish(x, z, y)
     if polish_iters > 0:
         # ρ-continuation dual polish (see docstring): the KKT point is a
-        # fixed point for EVERY ρ, so a short low-ρ stage only refines the
-        # duals' settling granularity; rho_scale itself keeps the adapted
-        # operating point for the next warm-started tick.
-        x, z, y = run_stage(
+        # fixed point for EVERY ρ, so on converged lanes a short low-ρ stage
+        # only refines the duals' settling granularity. On lanes that are
+        # NOT yet converged, low-ρ iterations weaken primal enforcement and
+        # can blow the residual up (seen closed-loop: a lane pushed off its
+        # fixed point re-enters the next warm-started tick worse — the
+        # degradation compounds), so the polish is accepted PER LANE only
+        # where it lowered the tolerance-normalized residual score — the
+        # same original-frame metric the convergence flag uses.
+        pol = _finish(*run_stage(
             x, z, y,
             jnp.clip(rho_scale * jnp.asarray(polish_scale, dtype), 1e-6, 1e6),
             polish_iters,
-        )
+        ))
+        score = lambda d: jnp.maximum(d[3] / d[5], d[4] / d[6])
+        better = score(pol) < score(cand)
+        pick = lambda a, b: jnp.where(
+            better.reshape(better.shape + (1,) * (a.ndim - better.ndim)),
+            b, a)
+        cand = tuple(pick(a, b) for a, b in zip(cand, pol))
 
-    # -- unscale and report residuals in the original problem ----------------
-    x = D * x
-    y = E * y / c[..., None]
-    z = z / E
-
-    Ax = _einsum("...mn,...n->...m", A_orig, x)
-    r_prim = jnp.max(jnp.abs(Ax - z), axis=-1)
-    Px = _einsum("...nm,...m->...n", P_orig, x)
-    Aty = _einsum("...nm,...m->...n", jnp.swapaxes(A_orig, -1, -2), y)
-    r_dual = jnp.max(jnp.abs(Px + q_orig + Aty), axis=-1)
-    # OSQP-style relative tolerances (scale-free convergence check)
-    prim_tol = eps_abs + eps_rel * jnp.maximum(
-        jnp.max(jnp.abs(Ax), axis=-1), jnp.max(jnp.abs(z), axis=-1)
-    )
-    dual_tol = eps_abs + eps_rel * jnp.maximum(
-        jnp.maximum(jnp.max(jnp.abs(Px), axis=-1), jnp.max(jnp.abs(Aty), axis=-1)),
-        jnp.max(jnp.abs(q_orig), axis=-1),
-    )
+    x, z, y, r_prim, r_dual, prim_tol, dual_tol = cand
     converged = (r_prim < prim_tol) & (r_dual < dual_tol)
     objective = 0.5 * _einsum("...n,...nm,...m->...", x, P_orig, x) + _einsum(
         "...n,...n->...", q_orig, x
@@ -324,7 +348,7 @@ def solve_qp_shared(
     backend: str = "xla",
     refine: Optional[bool] = None,
     polish_iters: int = 0,
-    polish_scale: float = 0.01,
+    polish_scale: float = 0.1,
 ) -> QPSolution:
     """ADMM for a scenario fleet sharing ONE (P, A) with per-lane (q, l, u).
 
@@ -482,7 +506,7 @@ def solve_qp_factored(
     s_min: float = 1e-4,
     s_max: float = 1e4,
     polish_iters: int = 0,
-    polish_scale: float = 0.01,
+    polish_scale: float = 0.1,
 ) -> QPSolution:
     """Solve a fleet of QPs against a prebuilt :class:`SharedQPFactors`.
 
@@ -600,6 +624,7 @@ def solve_qp_factored(
             eps_rel=eps_rel, check_every=check_every, matmul=matmul,
             s_min=s_min, s_max=s_max, polish_iters=polish_iters,
             polish_scale=polish_scale, effective_refine=effective_refine,
+            unroll=unroll,
         )
 
     def run_stage(v, tau, s, iters):
@@ -668,39 +693,52 @@ def solve_qp_factored(
         stage, (v, tau, s), None, length=n_stages
     )
 
+    def _finish(v, tau, rho_lane):
+        """Recover (x, z, y), unscale, diagnose in the ORIGINAL problem."""
+        x = _x_of(tau)
+        z = jnp.clip(v, lb, ub)
+        y = rho_lane * (v - z)
+        x = f.D * x
+        y = f.E * y / f.c
+        z = z / f.E
+        Ax = _einsum("...n,mn->...m", x, f.A_orig)
+        r_prim = jnp.max(jnp.abs(Ax - z), axis=-1)
+        Px = _einsum("...m,nm->...n", x, f.P_orig)
+        Aty = _einsum("...m,mn->...n", y, f.A_orig)
+        r_dual = jnp.max(jnp.abs(Px + q_orig + Aty), axis=-1)
+        prim_tol = eps_abs + eps_rel * jnp.maximum(
+            jnp.max(jnp.abs(Ax), axis=-1), jnp.max(jnp.abs(z), axis=-1)
+        )
+        dual_tol = eps_abs + eps_rel * jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Px), axis=-1),
+                        jnp.max(jnp.abs(Aty), axis=-1)),
+            jnp.max(jnp.abs(q_orig), axis=-1),
+        )
+        return x, z, y, r_prim, r_dual, prim_tol, dual_tol, Px
+
+    cand = _finish(v, tau, s * f.base_rho)
     if polish_iters > 0:
         # ρ-continuation dual polish (see docstring): y's granularity ∝ s, so
-        # a short low-s tail lets the duals settle; x is already converged and
-        # holds. s itself is NOT polished — the warm-start s for the next
-        # receding-horizon tick stays at the adapted operating point.
+        # a short low-s tail lets the duals settle on converged lanes; lanes
+        # still far from their fixed point can be pushed AWAY by low-ρ
+        # iterations, so the polish is accepted per lane only where it
+        # lowered the tolerance-normalized residual score (the original-frame
+        # metric of the convergence flag). s itself is NOT polished — the
+        # warm-start s for the next receding-horizon tick stays at the
+        # adapted operating point.
         s_pol = jnp.clip(s * jnp.asarray(polish_scale, dtype), s_min, s_max)
         z = jnp.clip(v, lb, ub)
-        v = z + (s / s_pol) * (v - z)
-        v, tau = run_stage(v, tau, s_pol, polish_iters)
-        rho_final = s_pol * f.base_rho
-    else:
-        rho_final = s * f.base_rho
+        v_p = z + (s / s_pol) * (v - z)
+        v_p, tau_p = run_stage(v_p, tau, s_pol, polish_iters)
+        pol = _finish(v_p, tau_p, s_pol * f.base_rho)
+        score = lambda d: jnp.maximum(d[3] / d[5], d[4] / d[6])
+        better = score(pol) < score(cand)
+        pick = lambda a, b: jnp.where(
+            better.reshape(better.shape + (1,) * (a.ndim - better.ndim)),
+            b, a)
+        cand = tuple(pick(a, b) for a, b in zip(cand, pol))
 
-    x = _x_of(tau)
-    z = jnp.clip(v, lb, ub)
-    y = rho_final * (v - z)
-
-    # -- unscale + diagnostics in the original problem -----------------------
-    x = f.D * x
-    y = f.E * y / f.c
-    z = z / f.E
-    Ax = _einsum("...n,mn->...m", x, f.A_orig)
-    r_prim = jnp.max(jnp.abs(Ax - z), axis=-1)
-    Px = _einsum("...m,nm->...n", x, f.P_orig)
-    Aty = _einsum("...m,mn->...n", y, f.A_orig)
-    r_dual = jnp.max(jnp.abs(Px + q_orig + Aty), axis=-1)
-    prim_tol = eps_abs + eps_rel * jnp.maximum(
-        jnp.max(jnp.abs(Ax), axis=-1), jnp.max(jnp.abs(z), axis=-1)
-    )
-    dual_tol = eps_abs + eps_rel * jnp.maximum(
-        jnp.maximum(jnp.max(jnp.abs(Px), axis=-1), jnp.max(jnp.abs(Aty), axis=-1)),
-        jnp.max(jnp.abs(q_orig), axis=-1),
-    )
+    x, z, y, r_prim, r_dual, prim_tol, dual_tol, Px = cand
     converged = (r_prim < prim_tol) & (r_dual < dual_tol)
     objective = 0.5 * jnp.sum(x * Px, axis=-1) + jnp.sum(q_orig * x, axis=-1)
     return QPSolution(x, y, z, r_prim, r_dual, converged, objective,
@@ -714,6 +752,7 @@ def _solve_factored_pallas_t(
     *,
     iterations, alpha, eps_abs, eps_rel, check_every, matmul,
     s_min, s_max, polish_iters, polish_scale, effective_refine,
+    unroll: int = 1,
 ):
     """Fused-kernel path of :func:`solve_qp_factored`, batch-minor layout.
 
@@ -739,10 +778,14 @@ def _solve_factored_pallas_t(
     qT = qb.T                                        # (n, B)
     rho_col = f.base_rho[:, None]                    # (m, 1)
 
+    # unroll <= 1 keeps the kernel's tuned default (8); larger values are an
+    # explicit request (e.g. the h=32 headline bench runs 16 — SOL.md sweep)
+    kernel_unroll = {} if unroll <= 1 else {"unroll": unroll}
+
     def run_stage(vT, tauT, sT, iters):
         return admm_stage_t(
             vT, tauT, sT, gqT, lT, uT, G2, f.d, f.base_rho,
-            iters=iters, alpha=alpha, matmul=matmul,
+            iters=iters, alpha=alpha, matmul=matmul, **kernel_unroll,
         )
 
     check_every = max(1, min(check_every, iterations))
@@ -777,38 +820,49 @@ def _solve_factored_pallas_t(
         stage, (vT, tauT, sT), None, length=n_stages
     )
 
+    qTo = q_orig.T if q_orig.ndim == 2 else q_orig[:, None]
+
+    def _finish(vT, tauT, rho_lane):
+        """Recover, unscale, diagnose in the ORIGINAL problem (transposed)."""
+        x = _einsum("nk,k...->n...", f.W, tauT)
+        z = jnp.clip(vT, lT, uT)
+        y = rho_lane * (vT - z)
+        x = f.D[:, None] * x
+        y = f.E[:, None] * y / f.c
+        z = z / f.E[:, None]
+        Ax = _einsum("mn,n...->m...", f.A_orig, x)
+        r_prim = jnp.max(jnp.abs(Ax - z), axis=0)
+        Px = _einsum("nk,k...->n...", f.P_orig, x)
+        Aty = _einsum("nm,m...->n...", f.A_orig.T, y)
+        r_dual = jnp.max(jnp.abs(Px + qTo + Aty), axis=0)
+        prim_tol = eps_abs + eps_rel * jnp.maximum(
+            jnp.max(jnp.abs(Ax), axis=0), jnp.max(jnp.abs(z), axis=0)
+        )
+        dual_tol = eps_abs + eps_rel * jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Px), axis=0),
+                        jnp.max(jnp.abs(Aty), axis=0)),
+            jnp.max(jnp.abs(qTo), axis=0),
+        )
+        return x, z, y, r_prim, r_dual, prim_tol, dual_tol, Px
+
+    cand = _finish(vT, tauT, sT * rho_col)
     if polish_iters > 0:
-        # ρ-continuation dual polish — see solve_qp_factored's docstring
+        # ρ-continuation dual polish, accepted per lane only where it
+        # lowered the tolerance-normalized residual score — see
+        # solve_qp_factored's docstring
         s_pol = jnp.clip(sT * jnp.asarray(polish_scale, vT.dtype),
                          s_min, s_max)
         z = jnp.clip(vT, lT, uT)
-        vT = z + (sT / s_pol) * (vT - z)
-        vT, tauT = run_stage(vT, tauT, s_pol, polish_iters)
-        rho_final = s_pol * rho_col
-    else:
-        rho_final = sT * rho_col
+        v_p = z + (sT / s_pol) * (vT - z)
+        v_p, tau_p = run_stage(v_p, tauT, s_pol, polish_iters)
+        pol = _finish(v_p, tau_p, s_pol * rho_col)
+        score = lambda d: jnp.maximum(d[3] / d[5], d[4] / d[6])
+        better = score(pol) < score(cand)                  # (B,)
+        pick = lambda a, b: jnp.where(
+            better[None, :] if a.ndim == 2 else better, b, a)
+        cand = tuple(pick(a, b) for a, b in zip(cand, pol))
 
-    x = _einsum("nk,k...->n...", f.W, tauT)
-    z = jnp.clip(vT, lT, uT)
-    y = rho_final * (vT - z)
-
-    # -- unscale + diagnostics in the original problem, then restore layout --
-    x = f.D[:, None] * x
-    y = f.E[:, None] * y / f.c
-    z = z / f.E[:, None]
-    Ax = _einsum("mn,n...->m...", f.A_orig, x)
-    r_prim = jnp.max(jnp.abs(Ax - z), axis=0)
-    Px = _einsum("nk,k...->n...", f.P_orig, x)
-    Aty = _einsum("nm,m...->n...", f.A_orig.T, y)
-    qTo = q_orig.T if q_orig.ndim == 2 else q_orig[:, None]
-    r_dual = jnp.max(jnp.abs(Px + qTo + Aty), axis=0)
-    prim_tol = eps_abs + eps_rel * jnp.maximum(
-        jnp.max(jnp.abs(Ax), axis=0), jnp.max(jnp.abs(z), axis=0)
-    )
-    dual_tol = eps_abs + eps_rel * jnp.maximum(
-        jnp.maximum(jnp.max(jnp.abs(Px), axis=0), jnp.max(jnp.abs(Aty), axis=0)),
-        jnp.max(jnp.abs(qTo), axis=0),
-    )
+    x, z, y, r_prim, r_dual, prim_tol, dual_tol, Px = cand
     converged = (r_prim < prim_tol) & (r_dual < dual_tol)
     objective = 0.5 * jnp.sum(x * Px, axis=0) + jnp.sum(qTo * x, axis=0)
     return QPSolution(x.T, y.T, z.T, r_prim, r_dual, converged, objective,

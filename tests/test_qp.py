@@ -177,12 +177,31 @@ class TestDualPolish:
     def test_polish_lowers_dual_floor_and_converges(self):
         solve, batch = self._dryrun_problem()
         base = solve()
-        polished = solve(polish_iters=25)
+        polished = solve(polish_iters=50)
         # same f32 pipeline: the polish must beat the unpolished dual floor
         assert (float(polished.qp.dual_residual.max())
-                < 0.5 * float(base.qp.dual_residual.max()))
+                < 0.75 * float(base.qp.dual_residual.max()))
         # ... while keeping every lane primal-feasible and flag-converged
         assert int(polished.qp.converged.sum()) == batch
+
+    def test_polish_is_per_lane_guarded(self):
+        """r4: the polish stage is accepted PER LANE only where it improves
+        the tolerance-normalized residual score, so it can never degrade a
+        lane (the unguarded version pushed unconverged closed-loop lanes off
+        their fixed point and the error compounded across warm-started
+        ticks). Whatever polish setting, no lane's residuals may exceed the
+        unpolished ones beyond noise, and convergence may not drop."""
+        solve, batch = self._dryrun_problem()
+        base = solve()
+        for ps in (0.01, 0.1):
+            pol = solve(polish_iters=25, polish_scale=ps)
+            assert int(pol.qp.converged.sum()) >= int(base.qp.converged.sum())
+            # a lane's rp may trade up WITHIN tolerance when its score
+            # improves; what may never happen is a blow-up past tolerance
+            # (the unguarded failure pushed rp to ~10)
+            assert float(pol.qp.primal_residual.max()) < 1e-4
+            assert (float(pol.qp.dual_residual.max())
+                    <= 1.05 * float(base.qp.dual_residual.max()) + 1e-7)
 
     def test_polish_preserves_solution(self):
         solve, _ = self._dryrun_problem()
