@@ -81,7 +81,7 @@ def main(batch: int = 512) -> None:
     # across ticks with per-lane adaptive ρ + a low-ρ dual polish tail
     config = StackConfig(mpc_dt=0.1, horizon=horizon, wbc_per_mpc=10,
                          physics_per_wbc=4, plant_method="rosenbrock",
-                         mpc_iterations=60, wbc_iterations=100,
+                         mpc_iterations=100, wbc_iterations=150,
                          wbc_check_every=25, wbc_polish_iters=25)
     null_poses = {}
     for f in HUMANOID_SOLE_FRAMES:

@@ -86,9 +86,10 @@ def main(batch=32, ticks=5):
     for name, kw in variants.items():
         if only and only not in name:
             continue
+        kw.setdefault("wbc_check_every", 25)
         config = StackConfig(mpc_dt=0.1, horizon=horizon, wbc_per_mpc=10,
                              physics_per_wbc=4, plant_method="rosenbrock",
-                             mpc_iterations=100, wbc_check_every=25, **kw)
+                             mpc_iterations=100, **kw)
         step = make_stack_step(tree, wbc, lipm, config, null_poses,
                                q_ref=plant.joint_positions,
                                com_height_ref=float(com[2]))
@@ -99,15 +100,19 @@ def main(batch=32, ticks=5):
         vstep = jax.jit(jax.vmap(
             lambda st, p: step(st, p, dcm_ref, zmp_ref, poly_A, poly_b)))
         rows = []
+        import time as _time
         for t in range(ticks):
+            _t0 = _time.perf_counter()
             state, tr = vstep(state, pushes)
+            jax.block_until_ready(tr.dcm)
+            _dt = _time.perf_counter() - _t0
             rp = np.asarray(tr.wbc_max_rp)
             tilt = np.asarray(state.plant.base_rotation[:, 2, 2])
             qv = np.abs(np.asarray(state.plant.joint_velocities)).max(axis=1)
             dcm_err = np.abs(np.asarray(tr.dcm) - np.asarray(stance)).max(1)
             est_err = np.abs(np.asarray(state.push_theta)
                              - np.asarray(pushes)).max(1)
-            rows.append((t, float(np.median(rp)), float(rp.max()),
+            rows.append((t, _dt, float(np.median(rp)), float(rp.max()),
                          int(np.asarray(tr.wbc_converged).sum()),
                          int(np.asarray(tr.mpc_converged).sum()),
                          float(tilt.min()), float(qv.max()),
@@ -115,10 +120,10 @@ def main(batch=32, ticks=5):
                          float(np.median(est_err)), float(est_err.max())))
         print(f"== {name}")
         for r in rows:
-            print("  t%02d med_rp %.1e max_rp %.1e conv %d/%d mpc %d "
+            print("  t%02d %5.2fs med_rp %.1e max_rp %.1e conv %d/%d mpc %d "
                   "tilt_min %.3f qv_max %.1f dcm med/max %.3f/%.3f "
-                  "est med/max %.1f/%.1f" % ((r[0], r[1], r[2], r[3], batch)
-                                             + tuple(r[4:])))
+                  "est med/max %.1f/%.1f" % ((r[0], r[1], r[2], r[3], r[4],
+                                              batch) + tuple(r[5:])))
 
 
 if __name__ == "__main__":

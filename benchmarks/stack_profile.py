@@ -92,8 +92,9 @@ def main(batch: int = 256) -> None:
         (horizon, 4),
     )
     config = StackConfig(mpc_dt=0.1, horizon=horizon, wbc_per_mpc=10,
-                         physics_per_wbc=40, mpc_iterations=60,
-                         wbc_iterations=250)
+                         physics_per_wbc=4, plant_method="rosenbrock",
+                         mpc_iterations=100, wbc_iterations=150,
+                         wbc_polish_iters=25)
     null_poses = {}
     for f in HUMANOID_SOLE_FRAMES:
         _, p0 = frame_pose(tree, poses, f)
@@ -150,6 +151,7 @@ def main(batch: int = 256) -> None:
                 sol = solve_wholebody_qp(
                     tree, wbc, stt.plant, task0,
                     iterations=config.wbc_iterations,
+                    polish_iters=config.wbc_polish_iters,
                     eps_abs=1e-4, eps_rel=1e-4)
                 return carry + sol.torques.sum(), None
             acc, _ = jax.lax.scan(body, jnp.zeros((), dtype), None, length=10)
@@ -206,18 +208,29 @@ def main(batch: int = 256) -> None:
 
     tau0 = jnp.zeros(n, dtype)
 
+    from blf_tpu.ops.integrators import integrate_rosenbrock, rosenbrock_operator
+
     @jax.jit
     def plant_only(st):
         def one(stt):
+            op = rosenbrock_operator(fdyn, stt.plant, u=tau0, dt=physics_dt)
             def body(p, _):
-                p2 = integrate(fdyn, p, dt=physics_dt,
-                               num_steps=config.physics_per_wbc,
-                               u=tau0, method="rk4")
+                p2 = integrate_rosenbrock(fdyn, p, dt=physics_dt,
+                                          num_steps=config.physics_per_wbc,
+                                          u=tau0, operator=op)
                 return p2, None
             p, _ = jax.lax.scan(body, stt.plant, None, length=10)
             return p
         return jax.vmap(one)(st)
     results["plant10_s"] = round(timed(plant_only, state), 4)
+
+    @jax.jit
+    def op_only(st):
+        def one(stt):
+            return rosenbrock_operator(fdyn, stt.plant, u=tau0,
+                                       dt=physics_dt).sum()
+        return jax.vmap(one)(st)
+    results["rosop_s"] = round(timed(op_only, state), 4)
 
     # -- estimator chain x10 -------------------------------------------------
     obs_params = MomentumObserverParams(gain=jnp.asarray(config.observer_gain),

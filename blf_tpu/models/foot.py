@@ -122,6 +122,7 @@ def foot_rollout(
     backend: str = "xla",
     block_lanes: int = 2048,
     chunks: int = 4,
+    step_unroll: int = 1,
 ) -> FootState:
     """Integrate ``steps`` Euler steps; returns the final state.
 
@@ -136,6 +137,7 @@ def foot_rollout(
         return foot_rollout_fused(
             cparams, fparams, state, null_position, null_rotation,
             dt=dt, steps=steps, block_lanes=block_lanes, chunks=chunks,
+            step_unroll=step_unroll,
         )
     if backend != "xla":
         raise ValueError(f"unknown backend {backend!r}")

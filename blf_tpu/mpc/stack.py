@@ -9,14 +9,22 @@ the whole stack is ONE pure, jittable, vmappable function:
 
     outer tick (MPC rate, e.g. 10 Hz)
       ├─ measure: CoM/DCM from the plant state (ξ = c + ċ/ω)
-      ├─ compensate: ẑ offset f̂/(m ω²) from the RLS-filtered push estimate
+      ├─ freeze the RLS push estimate f̂ for this tick (feeding the 100 Hz
+      │    estimate straight back into the same tick's torques closes an
+      │    estimator→torque loop that rings the joints — r4 diagnosis)
       ├─ plan: batched DCM-MPC (blf_tpu.mpc.dcm) from the measured DCM
       └─ inner ticks (WBC rate, e.g. 100 Hz), lax.scan:
-           ├─ instantaneous DCM controller: z_cmd = ξ_ref + (1+k_ξ/ω)(ξ−ξ_ref)
-           │    + f̂/(m ω²)   [constant-force DCM equilibrium shift]
+           ├─ instantaneous DCM controller: z_cmd = z_plan
+           │    + (1+k_ξ/ω)(ξ−ξ_ref) + ∫k_i(ξ−ξ_ref) — the integral soaks
+           │    constant flow biases (compliant-sole model mismatch,
+           │    estimate residue) no feedforward can
            ├─ whole-body QP (blf_tpu.mpc.wholebody) tracking
-           │    ω²(c − z_cmd) in xy + height/posture PD
-           ├─ plant: rigid-body dynamics + TRUE (unknown) push, RK4 substeps
+           │    ω²(c − z_cmd) in xy + height/posture PD, with f̂ MODELED in
+           │    the dynamics equality (the estimator feeds the controller's
+           │    model, so the push's moment no longer biases realized
+           │    accelerations)
+           ├─ plant: rigid-body dynamics + TRUE (unknown) push — stiff
+           │    ROS2-W substeps (or reference-faithful RK4)
            ├─ momentum observer tick on (sampled state, commanded torques)
            └─ wrench attribution over [feet…, push frame] + RLS update of
               the push-force estimate  ←  "Estimators … batched filters
@@ -97,6 +105,13 @@ class StackConfig(NamedTuple):
     wbc_check_every: int = 25       # ADMM stage length (ρ-adaptation cadence)
     wbc_polish_iters: int = 0       # low-ρ dual-polish tail (solve_qp)
     dcm_gain: float = 1.2           # k_ξ of the instantaneous DCM controller
+    dcm_ki: float = 0.06            # integral gain on the DCM error [1/s]:
+    #   absorbs EVERY constant flow bias — compliant-sole model mismatch,
+    #   residual estimate error — that neither the WBC wrench model nor a
+    #   feedforward z-shift can (r4 diagnosis: med. steady DCM offset
+    #   ~3.5 cm ∝ push without it). Stability: ξ̈ + k_ξ ξ̇ + ω k_i ξ = 0 ⇒
+    #   damped for k_i ≤ k_ξ²/(4ω) ≈ 0.085 at the bench ω
+    dcm_int_limit: float = 0.06     # anti-windup clamp on the integral [m]
     height_kp: float = 100.0
     height_kd: float = 20.0
     base_kp: float = 60.0           # base-orientation restoring gain (the
@@ -106,7 +121,7 @@ class StackConfig(NamedTuple):
     observer_gain: float = 60.0     # momentum-residual bandwidth [rad/s]
     rls_lambda: float = 0.97
     rls_noise: float = 1e-2
-    compensate_push: bool = True    # feed f̂ back into z_cmd (ablation knob)
+    compensate_push: bool = True    # feed f̂ into the WBC model (ablation)
     wbc_eps: Optional[float] = None  # WBC QP convergence tolerance; None →
     #   1e-5 in f64, 1e-4 in f32 (the realistic single-precision residual
     #   floor of the per-lane ADMM — same dtype reasoning as solve_qp's
@@ -127,6 +142,7 @@ class StackState(NamedTuple):
     warm_wbc_x: jnp.ndarray         # (nx,) previous WBC primal (tick-to-tick)
     warm_wbc_y: jnp.ndarray         # (mw,) previous WBC duals
     warm_wbc_s: jnp.ndarray         # (1,) adapted WBC ADMM ρ multiplier
+    dcm_int: jnp.ndarray            # (2,) DCM-error integral state [m]
 
 
 class StackTrace(NamedTuple):
@@ -187,6 +203,7 @@ def init_stack(
         warm_wbc_x=jnp.zeros((nx,), dtype),
         warm_wbc_y=jnp.zeros((mw,), dtype),
         warm_wbc_s=jnp.ones((1,), dtype),
+        dcm_int=jnp.zeros(2, dtype),
     )
 
 
@@ -268,12 +285,21 @@ def make_stack_step(
         dtype = stack.plant.joint_positions.dtype
         mass = jnp.asarray(total_mass, dtype)
         com0, _, dcm0 = _com_state(tree, lipm, stack.plant)
-        # constant-force DCM equilibrium shift: plant ξ̇ = ω(ξ−z) + f/(mω),
-        # so commanding z + f̂/(mω²) restores the nominal flow (static
-        # branch — config is Python-level, one compilation per setting)
-        push_comp = (stack.push_theta / (mass * omega**2)
-                     if config.compensate_push
-                     else jnp.zeros_like(stack.push_theta))
+        # push compensation (r4 redesign): the OUTER-tick RLS estimate feeds
+        # the WBC's dynamics model (ext_w below), so the inverse dynamics
+        # realizes commanded accelerations under the disturbance and the
+        # DCM flow is nominal WITHOUT a z_cmd shift. Two hard-won rules:
+        # (1) the estimate is frozen per outer tick — feeding the 100 Hz
+        #     inner-tick estimate back into the same tick's torques closes
+        #     an estimator→torque loop at the observer bandwidth that rang
+        #     the joints at >10 rad/s within one outer tick (on-chip r4);
+        # (2) the old z_cmd shift f̂/(mω²) must NOT be combined with the
+        #     modeled wrench — it compensated the flow bias the unmodeled
+        #     push used to cause, so keeping both double-compensates and
+        #     biases the DCM by the same amount the shift once fixed.
+        ext_w = (jnp.concatenate([stack.push_theta, jnp.zeros(4, dtype)])
+                 if config.compensate_push
+                 else jnp.zeros(6, dtype))[None]            # (1, 6)
 
         plan = solve_dcm_mpc(
             lipm, config.mpc_dt, dcm0, com0[:2], dcm_ref, zmp_ref,
@@ -323,18 +349,31 @@ def make_stack_step(
                 f"unknown plant_method {config.plant_method!r}")
 
         def inner(carry, k):
-            plant, obs, theta, cov, x_w, y_w, s_w = carry
+            plant, obs, theta, cov, x_w, y_w, s_w, dcm_i = carry
             com, com_vel, dcm = _com_state(tree, lipm, plant)
             # interpolate the MPC plan between knots 0 and 1
             frac = (k.astype(dtype) + 1.0) / config.wbc_per_mpc
             dcm_ref_now = plan.dcm[0] + frac * (plan.dcm[1] - plan.dcm[0])
             z_plan = plan.zmp[0]
-            # instantaneous DCM controller + push compensation
+            # instantaneous DCM controller + slow integral bias absorber
+            # (push force handled in the WBC model; the integral soaks the
+            # compliant-sole / estimate-residual flow biases — see dcm_ki)
+            dcm_i = jnp.clip(
+                dcm_i + config.dcm_ki * wbc_dt * (dcm - dcm_ref_now),
+                -config.dcm_int_limit, config.dcm_int_limit)
             z_cmd = (z_plan + (1.0 + config.dcm_gain / omega)
-                     * (dcm - dcm_ref_now) + push_comp)
+                     * (dcm - dcm_ref_now) + dcm_i)
             com_acc_xy = omega**2 * (com[:2] - z_cmd)
             com_acc_z = (config.height_kp * (height_ref - com[2])
                          - config.height_kd * com_vel[2])
+            # the (outer-tick) RLS push estimate feeds the WBC's MODEL: the
+            # estimated wrench enters the dynamics equality, so the inverse
+            # dynamics realizes the commanded accelerations under the
+            # disturbance. Without this the push's moment (force × lever
+            # arm to the push frame) biases every realized acceleration;
+            # the orientation loop then drifts and a tail of large-push
+            # lanes slowly falls (diagnosed on-chip in r4: tilt decaying
+            # from t≈1 s regardless of WBC iteration budget).
             task = WholeBodyTask(
                 com_acc_des=jnp.concatenate([com_acc_xy, com_acc_z[None]]),
                 base_ang_acc_des=(
@@ -344,6 +383,7 @@ def make_stack_step(
                     config.posture_kp * (posture_ref - plant.joint_positions)
                     - config.posture_kd * plant.joint_velocities),
                 contact_active=jnp.ones(len(wbc_params.contact_frames), dtype),
+                ext_wrench=ext_w,
             )
             eps = config.wbc_eps if config.wbc_eps is not None else (
                 1e-5 if jnp.finfo(dtype).bits >= 64 else 1e-4)
@@ -352,6 +392,7 @@ def make_stack_step(
                                      x0=x_w, y0=y_w, s0=s_w,
                                      check_every=config.wbc_check_every,
                                      polish_iters=config.wbc_polish_iters,
+                                     ext_frames=(push_frame,),
                                      eps_abs=eps, eps_rel=eps)
 
             if config.plant_method == "rosenbrock":
@@ -386,15 +427,16 @@ def make_stack_step(
             est = rls_step(rls_params, RLSState(theta, cov),
                            jnp.eye(2, dtype=dtype), push_meas)
             return ((plant_next, obs_next, est.theta, est.covariance,
-                     sol.qp.x, sol.qp.y, sol.qp.rho_scale),
+                     sol.qp.x, sol.qp.y, sol.qp.rho_scale, dcm_i),
                     (z_cmd, sol.qp.converged,
                      sol.qp.primal_residual, sol.qp.dual_residual))
 
-        (plant, obs, theta, cov, wbc_x, wbc_y, wbc_s), (
+        (plant, obs, theta, cov, wbc_x, wbc_y, wbc_s, dcm_i), (
             z_cmds, wbc_conv, wbc_rps, wbc_rds) = jax.lax.scan(
             inner,
             (stack.plant, stack.observer, stack.push_theta, stack.push_cov,
-             stack.warm_wbc_x, stack.warm_wbc_y, stack.warm_wbc_s),
+             stack.warm_wbc_x, stack.warm_wbc_y, stack.warm_wbc_s,
+             stack.dcm_int),
             jnp.arange(config.wbc_per_mpc),
         )
 
@@ -403,6 +445,7 @@ def make_stack_step(
             warm_zmp=plan.zmp, warm_y=plan.qp.y,
             warm_s=plan.qp.rho_scale,
             warm_wbc_x=wbc_x, warm_wbc_y=wbc_y, warm_wbc_s=wbc_s,
+            dcm_int=dcm_i,
         )
 
         # per-lane status (worst of MPC / WBC / plant finiteness) + NaN
@@ -432,6 +475,7 @@ def make_stack_step(
             warm_wbc_x=jnp.zeros_like(stack.warm_wbc_x),
             warm_wbc_y=jnp.zeros_like(stack.warm_wbc_y),
             warm_wbc_s=jnp.ones_like(stack.warm_wbc_s),
+            dcm_int=jnp.zeros_like(stack.dcm_int),
         )
         new_stack = nan_quarantine(new_stack, status, reset)
 

@@ -51,9 +51,16 @@ class WholeBodyParams(NamedTuple):
     foot_half_width: float = 0.04
     torque_limit: float = 60.0
     stance_damping: float = 20.0      # k_d on the stance velocity residual
-    w_com: float = 10.0
-    w_base_ang: float = 1.0
-    w_posture: float = 0.5
+    # Task weights: the CoM task must DOMINATE the 23-row posture block or
+    # the weighted trade-off leaves a push-proportional realized-CoP gap —
+    # measured closed-loop (r4): at w_com=10/w_posture=0.5 a 10.6 N push
+    # parked the DCM 3.6 cm off reference with z_cmd saturated near the
+    # support edge (the falling-tail mechanism); at 300/0.1 the same lane
+    # tracks to ~1 mm. Posture/orientation remain regularized, not traded
+    # against the balance-critical task.
+    w_com: float = 300.0
+    w_base_ang: float = 5.0
+    w_posture: float = 0.1
     w_force_reg: float = 1e-4
     w_torque_reg: float = 1e-4
 
@@ -65,6 +72,12 @@ class WholeBodyTask(NamedTuple):
     base_ang_acc_des: jnp.ndarray   # (3,)
     posture_acc_des: jnp.ndarray    # (n,)
     contact_active: jnp.ndarray     # (C,) float/bool mask, static shape
+    ext_wrench: jnp.ndarray = None  # (E, 6) estimated external wrenches at
+    #   ``ext_frames`` (see build_wholebody_qp) — modeled in the dynamics
+    #   equality so the inverse dynamics realizes the commanded
+    #   accelerations UNDER the disturbance. Without it a constant push's
+    #   moment biases every realized acceleration and the orientation loop
+    #   drifts (the r4 closed-loop falling-tail diagnosis).
 
 
 class WholeBodySolution(NamedTuple):
@@ -92,9 +105,16 @@ def build_wholebody_qp(
     params: WholeBodyParams,
     state: rb.FloatingBaseState,
     task: WholeBodyTask,
+    ext_frames: Tuple[str, ...] = (),
 ):
     """Assemble (P, q, A, l, u) for one whole-body tick (single sample;
-    vmap for batches)."""
+    vmap for batches).
+
+    ``ext_frames`` (static) names the frames whose ESTIMATED external
+    wrenches ``task.ext_wrench`` (rows matching) enter the dynamics
+    equality: ``M ν̇ − Σ J_cᵀ f_c − S τ = −h + Σ J_eᵀ ŵ_e`` — the
+    estimator stack feeding the controller's *model*, not just its
+    reference shift."""
     n = tree.num_dofs
     nv = tree.nv
     C = len(params.contact_frames)
@@ -133,6 +153,9 @@ def build_wholebody_qp(
         [M] + [-Jc[c].T for c in range(C)] + [-S], axis=1
     )                                                      # (nv, nx)
     dyn_rhs = -h
+    for e, fname in enumerate(ext_frames):
+        dyn_rhs = dyn_rhs + frame_jacobian(tree, poses, fname).T @ (
+            jnp.asarray(task.ext_wrench, dtype)[e])
 
     # contact blocks: active → J ν̇ = −J̇ν − k_d J ν on acceleration;
     # inactive → f = 0. Same 6-row shape, blended by the mask.
@@ -240,11 +263,21 @@ def solve_wholebody_qp(
     iterations: int = 150,
     x0: Optional[jnp.ndarray] = None,
     y0: Optional[jnp.ndarray] = None,
+    ext_frames: Tuple[str, ...] = (),
     **qp_kwargs,
 ) -> WholeBodySolution:
-    """Build + solve one whole-body tick; vmap-able over scenario batches."""
+    """Build + solve one whole-body tick; vmap-able over scenario batches.
+
+    Note (r4): a dynamics-condensed variant (z = [f|τ], accelerations
+    eliminated) was built and measured — it cuts per-iteration HBM traffic
+    ~3× but squares the mass-matrix conditioning into the cost (raw cond
+    ~5e9; the force-redistribution nullspace sits at the 1e-4 regularizer
+    while the CoM rows sit at w_com·‖T M⁻¹B‖²), and the warm-started ADMM
+    then stalls two orders above the 1e-4 tolerance. The explicit
+    formulation with its well-conditioned KKT remains the production path.
+    """
     n, nv, C = tree.num_dofs, tree.nv, len(params.contact_frames)
-    P, q, A, l, u = build_wholebody_qp(tree, params, state, task)
+    P, q, A, l, u = build_wholebody_qp(tree, params, state, task, ext_frames)
     sol = solve_qp(P, q, A, l, u, iterations=iterations, x0=x0, y0=y0,
                    **qp_kwargs)
     return WholeBodySolution(

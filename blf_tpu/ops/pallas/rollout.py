@@ -66,7 +66,7 @@ def _mat_t_vec(r, v):
 def _rollout_kernel(
     p_ref, r_ref, v_ref, w_ref, p0_ref, r0_ref, kb_ref, scal_ref,
     p_out, r_out, v_out, w_out,
-    *, steps: int, chunks: int,
+    *, steps: int, chunks: int, step_unroll: int = 1,
 ):
     SUB = 8  # sublane tile height: each field is rows of (SUB, BB/SUB)
     L = scal_ref[0, 0]
@@ -159,7 +159,14 @@ def _rollout_kernel(
         return p_n, r_n, v_n, w_n
 
     def body(_, carry):
-        out = tuple(one_chunk(c, *carry[c]) for c in range(chunks))
+        # `step_unroll` dependent steps as straight-line code per loop trip:
+        # the falsification experiment for the VMEM-round-trip hypothesis
+        # (SOL.md "Foot rollout") — if carries spill to VMEM each step, a
+        # k-step register-blocked body cuts that traffic ~k× and throughput
+        # should rise; if throughput is invariant, the bound is elsewhere.
+        out = carry
+        for _ in range(step_unroll):
+            out = tuple(one_chunk(c, *out[c]) for c in range(chunks))
         return out
 
     init = tuple(
@@ -169,7 +176,9 @@ def _rollout_kernel(
          tuple(row(w_ref, i, c) for i in range(3)))
         for c in range(chunks)
     )
-    final = jax.lax.fori_loop(0, steps, body, init)
+    final = jax.lax.fori_loop(0, steps // step_unroll, body, init)
+    for _ in range(steps % step_unroll):
+        final = tuple(one_chunk(c, *final[c]) for c in range(chunks))
     for c in range(chunks):
         p, r, v, w = final[c]
         cs = slice(c * cw, (c + 1) * cw)
@@ -192,6 +201,7 @@ def foot_rollout_fused(
     steps: int,
     block_lanes: int = 2048,
     chunks: int = 4,
+    step_unroll: int = 1,
     interpret=None,
 ):
     """Run the fused rollout; returns the final FootState (same shapes).
@@ -222,7 +232,7 @@ def foot_rollout_fused(
             pad(jnp.broadcast_to(null_position, (B, 3))),
             pad(jnp.broadcast_to(null_rotation, (B, 3, 3))),
             dt=dt, steps=steps, block_lanes=block_lanes, chunks=chunks,
-            interpret=interpret,
+            step_unroll=step_unroll, interpret=interpret,
         )
         return jax.tree_util.tree_map(lambda a: a[:B], out)
     dtype = state.position.dtype
@@ -277,7 +287,8 @@ def foot_rollout_fused(
     while cols % (chunks * 128) and chunks > 1:
         chunks -= 1
     kernel = functools.partial(_rollout_kernel, steps=int(steps),
-                               chunks=chunks)
+                               chunks=chunks,
+                               step_unroll=max(1, int(step_unroll)))
     p_o, r_o, v_o, w_o = pl.pallas_call(
         kernel,
         grid=grid,

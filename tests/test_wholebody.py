@@ -241,3 +241,4 @@ class TestBatched:
             np.asarray(sols.nu_dot[3]), np.asarray(solo.nu_dot),
             atol=tol(1e-8, 1e-4)
         )
+
