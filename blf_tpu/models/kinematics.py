@@ -255,6 +255,33 @@ def _world_joint_axes(tree: KinematicTree, poses: LinkPoses):
     return axes[..., 0], poses.position
 
 
+def _movable_joints(tree: KinematicTree):
+    """Static (link-index array, revolute mask) of the movable joints, in
+    DoF-column order (``dof_index`` increments in link order, so sorting by
+    link index IS the column order)."""
+    jm = np.array([j for j in range(tree.num_links)
+                   if tree.joint_type[j] != FIXED], dtype=int)
+    rev = np.array([tree.joint_type[j] == REVOLUTE for j in jm])
+    return jm, rev
+
+
+def _joint_columns(tree: KinematicTree, poses: LinkPoses):
+    """(n, 3) world axis / anchor / revolute-mask of every DoF column —
+    the shared operands of all Jacobian assemblies, computed ONCE as
+    whole-tree ops (no per-joint Python loop)."""
+    axes_w, anchors_w = _world_joint_axes(tree, poses)
+    jm, rev = _movable_joints(tree)
+    return axes_w[jm], anchors_w[jm], rev
+
+
+def _base_rows(point_w, base_p, dtype):
+    eye3 = jnp.eye(3, dtype=dtype)
+    zero3 = jnp.zeros((3, 3), dtype=dtype)
+    base_lin = jnp.concatenate([eye3, -skew(point_w - base_p)], axis=-1)
+    base_ang = jnp.concatenate([zero3, eye3], axis=-1)
+    return base_lin, base_ang
+
+
 def point_jacobian_columns(tree: KinematicTree, poses: LinkPoses, link_index: int,
                            point_w):
     """Mixed Jacobian (6, 6+n) of the frame at world point ``point_w`` rigidly
@@ -266,49 +293,64 @@ def point_jacobian_columns(tree: KinematicTree, poses: LinkPoses, link_index: in
     - base (6): ``[[I, −(p − p_b)̂]; [0, I]]`` — mixed base twist transport;
     - revolute joint j on the support path: ``[a_j × (p − p_j); a_j]``;
     - prismatic: ``[a_j; 0]``; other joints: zero.
+
+    Assembled as whole-DoF-vector ops (one cross + static masks), not a
+    per-joint loop — the trace-time unrolled version cost L·n tiny ops per
+    call and dominated every dynamics evaluation's op count on TPU.
     """
     dtype = poses.rotation.dtype
     n = tree.num_dofs
-    axes_w, anchors_w = _world_joint_axes(tree, poses)
-    mask = tree.ancestor_mask[link_index]
-    dof = tree.dof_index
-
-    base_lin = jnp.concatenate(
-        [jnp.eye(3, dtype=dtype), -skew(point_w - poses.position[0])], axis=-1
-    )
-    base_ang = jnp.concatenate(
-        [jnp.zeros((3, 3), dtype=dtype), jnp.eye(3, dtype=dtype)], axis=-1
-    )
-
-    cols_lin = [jnp.zeros((3,), dtype=dtype)] * n
-    cols_ang = [jnp.zeros((3,), dtype=dtype)] * n
-    for j in range(1, tree.num_links):
-        if not mask[j] or tree.joint_type[j] == FIXED:
-            continue
-        k = dof[j]
-        a = axes_w[j]
-        if tree.joint_type[j] == REVOLUTE:
-            cols_lin[k] = jnp.cross(a, point_w - anchors_w[j])
-            cols_ang[k] = a
-        else:  # PRISMATIC
-            cols_lin[k] = a
-            cols_ang[k] = jnp.zeros(3, dtype=dtype)
-    if n:
-        Jlin = jnp.concatenate([base_lin, jnp.stack(cols_lin, axis=-1)], axis=-1)
-        Jang = jnp.concatenate([base_ang, jnp.stack(cols_ang, axis=-1)], axis=-1)
-    else:
-        Jlin, Jang = base_lin, base_ang
+    base_lin, base_ang = _base_rows(point_w, poses.position[0], dtype)
+    if not n:
+        return jnp.concatenate([base_lin, base_ang], axis=-2)
+    a, anchors, rev = _joint_columns(tree, poses)
+    jm, _ = _movable_joints(tree)
+    onpath = tree.ancestor_mask[link_index][jm]            # (n,) static bool
+    diff = point_w[None, :] - anchors                      # (n, 3)
+    crossed = jnp.cross(a, diff)                           # (n, 3)
+    revc = rev[:, None]                                    # static bool
+    lin = jnp.where(revc, crossed, a) * jnp.asarray(
+        onpath[:, None], dtype)
+    ang = jnp.where(revc, a, jnp.zeros_like(a)) * jnp.asarray(
+        (onpath & rev)[:, None], dtype)
+    Jlin = jnp.concatenate([base_lin, lin.T], axis=-1)
+    Jang = jnp.concatenate([base_ang, ang.T], axis=-1)
     return jnp.concatenate([Jlin, Jang], axis=-2)
 
 
 def link_jacobians(tree: KinematicTree, poses: LinkPoses) -> jnp.ndarray:
-    """Mixed Jacobians of every link origin, stacked ``(L, 6, 6+n)``."""
-    return jnp.stack(
-        [
-            point_jacobian_columns(tree, poses, i, poses.position[i])
-            for i in range(tree.num_links)
-        ]
-    )
+    """Mixed Jacobians of every link origin, stacked ``(L, 6, 6+n)``.
+
+    Fully vectorized over links AND joints: one (L, n, 3) cross product +
+    two static masks instead of L·n per-joint column ops (the former
+    trace-time unrolled assembly was the op-count hot spot of the
+    articulated plant — mass matrix, bias forces, and every ``jacfwd``
+    tangent all route through here)."""
+    dtype = poses.rotation.dtype
+    n = tree.num_dofs
+    L = tree.num_links
+    p = poses.position                                     # (L, 3)
+    base_lin = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3, dtype=dtype), (L, 3, 3)),
+         -skew(p - p[0])], axis=-1)                        # (L, 3, 6)
+    base_ang = jnp.broadcast_to(
+        jnp.concatenate([jnp.zeros((3, 3), dtype=dtype),
+                         jnp.eye(3, dtype=dtype)], axis=-1), (L, 3, 6))
+    if not n:
+        return jnp.concatenate([base_lin, base_ang], axis=-2)
+    a, anchors, rev = _joint_columns(tree, poses)          # (n, 3) each
+    jm, _ = _movable_joints(tree)
+    diff = p[:, None, :] - anchors[None, :, :]             # (L, n, 3)
+    crossed = jnp.cross(jnp.broadcast_to(a, (L, n, 3)), diff)
+    revc = rev[None, :, None]                              # static bool
+    onpath = jnp.asarray(tree.ancestor_mask[:, jm][..., None],
+                         dtype)                            # (L, n, 1) static
+    lin = jnp.where(revc, crossed, a[None]) * onpath
+    ang = jnp.broadcast_to(jnp.where(revc, a[None], 0.0), (L, n, 3)) * (
+        onpath * jnp.asarray(rev[None, :, None], dtype))
+    Jlin = jnp.concatenate([base_lin, jnp.swapaxes(lin, -1, -2)], axis=-1)
+    Jang = jnp.concatenate([base_ang, jnp.swapaxes(ang, -1, -2)], axis=-1)
+    return jnp.concatenate([Jlin, Jang], axis=-2)
 
 
 def frame_pose(tree: KinematicTree, poses: LinkPoses, frame: str):
