@@ -202,10 +202,22 @@ def solve_dcm_mpc(
         # structural equality mask (first 2N rows are dynamics equalities) —
         # constant by construction, so the factorization depends only on
         # tick-invariant data and XLA hoists it out of receding-horizon
-        # scan loops (the per-tick solve then starts at the ADMM iterations)
-        is_eq = jnp.arange(A.shape[-2]) < 2 * N
+        # scan loops (the per-tick solve then starts at the ADMM iterations).
+        # (P, A) depend only on the shared refs/polygons — with those
+        # unbatched (the shared-path contract above), any batch axes on
+        # (P, A) are pure broadcasts of dcm0's batch (build_dcm_qp), so for
+        # the fleet-native path collapse them back to one copy: the batch
+        # rides (q, l, u) through solve_qp_factored.
+        if jnp.asarray(poly_A).ndim != 3 or jnp.asarray(poly_b).ndim != 2:
+            raise ValueError(
+                "solve_dcm_mpc(shared=True) requires unbatched poly_A/poly_b"
+                " (lanes share one transcription); use shared=False or vmap"
+                " for per-lane polygons")
+        P_s = P[(0,) * (P.ndim - 2)] if P.ndim > 2 else P
+        A_s = A[(0,) * (A.ndim - 2)] if A.ndim > 2 else A
+        is_eq = jnp.arange(A_s.shape[-2]) < 2 * N
         factors = factor_shared_qp(
-            P, A, is_eq,
+            P_s, A_s, is_eq,
             **{k: qp_kwargs.pop(k) for k in
                ("rho", "sigma", "rho_eq_scale", "scaling_iters")
                if k in qp_kwargs},

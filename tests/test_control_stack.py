@@ -171,6 +171,96 @@ class TestFleet:
         assert bool(jnp.all(jnp.isfinite(fleet.plant.base_position)))
         assert bool(jnp.all(jnp.isfinite(fleet.push_theta)))
 
+    def test_fleet_step_matches_vmapped_step(self):
+        """The fleet-native tick (batched QP solves — the kernel-backend
+        entry point, r5) must reproduce the vmapped per-lane tick: same
+        math, different batching structure."""
+        from blf_tpu.mpc.stack import make_fleet_stack_step
+        from blf_tpu.models.kinematics import frame_pose as _fp
+
+        step, state, refs, lipm, stance = setup(True)
+        plant = standing_state()
+        poses = forward_kinematics(TREE, plant.base_position,
+                                   plant.base_rotation, plant.joint_positions)
+        com = rb.com_position(TREE, poses)
+        config = StackConfig(
+            mpc_dt=0.1, horizon=HORIZON, wbc_per_mpc=10,
+            physics_per_wbc=40, plant_method="rk4",
+            mpc_iterations=60, wbc_iterations=250,
+            wbc_polish_iters=0, compensate_push=True,
+        )
+        null_poses = {}
+        for f in HUMANOID_SOLE_FRAMES:
+            _, p0 = _fp(TREE, poses, f)
+            null_poses[f] = (jnp.eye(3),
+                             p0 + jnp.array([0.0, 0.0, config.ground_sag]))
+        fleet_step = jax.jit(make_fleet_stack_step(
+            TREE, WBC, lipm, config, null_poses,
+            q_ref=plant.joint_positions, com_height_ref=float(com[2])))
+
+        pushes = jnp.asarray([[12.0, 4.0], [-10.0, 6.0]])
+        fleet0 = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (2,) + a.shape), state)
+        vstep = jax.jit(jax.vmap(lambda s, p: step(s, p, *refs)))
+        ref_state, ref_tr = vstep(fleet0, pushes)
+        new_state, new_tr = fleet_step(fleet0, pushes, *refs)
+
+        # same per-lane physics/estimates to float reassociation tolerance
+        np.testing.assert_allclose(
+            np.asarray(new_state.plant.base_position),
+            np.asarray(ref_state.plant.base_position), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(new_state.plant.joint_positions),
+            np.asarray(ref_state.plant.joint_positions), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(new_state.push_theta),
+            np.asarray(ref_state.push_theta), atol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(new_tr.dcm), np.asarray(ref_tr.dcm), atol=1e-6)
+        assert new_tr.status.shape == (2,)
+        assert bool(jnp.all(new_tr.wbc_converged == ref_tr.wbc_converged))
+
+    def test_fleet_step_kernel_backends(self):
+        """Kernel-backend fleet tick (interpret mode off-TPU): both QP
+        solves on the fused paths must stay finite and converge like the
+        XLA path on a small fleet."""
+        from blf_tpu.mpc.stack import make_fleet_stack_step
+        from blf_tpu.models.kinematics import frame_pose as _fp
+
+        step, state, refs, lipm, stance = setup(True)
+        plant = standing_state()
+        poses = forward_kinematics(TREE, plant.base_position,
+                                   plant.base_rotation, plant.joint_positions)
+        com = rb.com_position(TREE, poses)
+        config = StackConfig(
+            mpc_dt=0.1, horizon=HORIZON, wbc_per_mpc=10,
+            physics_per_wbc=4, plant_method="rosenbrock",
+            mpc_iterations=60, wbc_iterations=150,
+            wbc_check_every=150, wbc_polish_iters=25, compensate_push=True,
+            mpc_backend="pallas", wbc_backend="pallas",
+            # production tolerance: cold-start lanes at 150 fused v-space
+            # iterations/ tick sit ~3e-3 dual in f64 (no warm history in a
+            # 2-tick test); the bench's convergence contract is 1e-4
+            wbc_eps=1e-4,
+        )
+        null_poses = {}
+        for f in HUMANOID_SOLE_FRAMES:
+            _, p0 = _fp(TREE, poses, f)
+            null_poses[f] = (jnp.eye(3),
+                             p0 + jnp.array([0.0, 0.0, config.ground_sag]))
+        fleet_step = jax.jit(make_fleet_stack_step(
+            TREE, WBC, lipm, config, null_poses,
+            q_ref=plant.joint_positions, com_height_ref=float(com[2])))
+        pushes = jnp.asarray([[8.0, -3.0], [-6.0, 5.0]])
+        fleet = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (2,) + a.shape), state)
+        for _ in range(2):
+            fleet, tr = fleet_step(fleet, pushes, *refs)
+        assert bool(jnp.all(jnp.isfinite(fleet.plant.base_position)))
+        assert bool(jnp.all(tr.wbc_converged)), (
+            np.asarray(tr.wbc_max_rp), np.asarray(tr.wbc_max_rd))
+        assert bool(jnp.all(tr.status == 0))
+
 
 class TestStiffPlant:
     """The production plant integrator (ROS2-W, one lagged stage operator

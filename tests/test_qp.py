@@ -7,7 +7,7 @@ import pytest
 
 from conftest import tol
 
-from blf_tpu.mpc.qp import solve_qp
+from blf_tpu.mpc.qp import solve_qp, solve_qp_lanes
 
 RNG = np.random.default_rng(0)
 
@@ -240,3 +240,70 @@ class TestRefineContract:
             solve(*args, iterations=25, backend="pallas").refined
         )
         assert not bool(solve(*args, iterations=25, refine=False).refined)
+
+
+class TestPerLaneFused:
+    """solve_qp_lanes — the fused per-lane-operator path (r5: the WBC shape
+    of the control stack). Interpret mode on CPU runs the same kernels."""
+
+    def make_fleet(self, B=5, n=12, m=18, seed=0):
+        rng = np.random.default_rng(seed)
+        P = rng.normal(size=(B, n, n)) * 0.5
+        P = P @ np.swapaxes(P, -1, -2) + np.eye(n)
+        q = rng.normal(size=(B, n))
+        A = rng.normal(size=(B, m, n))
+        xs = rng.normal(size=(B, n))
+        Ax = np.einsum("bmn,bn->bm", A, xs)
+        l = Ax - np.abs(rng.normal(size=(B, m))) * 0.5
+        u = Ax + np.abs(rng.normal(size=(B, m))) * 0.5
+        l[:, :4] = u[:, :4] = Ax[:, :4]      # feasible equality rows
+        l[:, 5] = -np.inf                    # one-sided row
+        return tuple(map(jnp.asarray, (P, q, A, l, u)))
+
+    def test_matches_xla_path(self):
+        P, q, A, l, u = self.make_fleet()
+        kw = dict(iterations=400, eps_abs=1e-4, eps_rel=1e-4)
+        ref = solve_qp(P, q, A, l, u, **kw)
+        lane = solve_qp_lanes(P, q, A, l, u, **kw)
+        np.testing.assert_allclose(
+            np.asarray(lane.x), np.asarray(ref.x), atol=tol(1e-4, 5e-3))
+        assert not bool(lane.refined)
+
+    def test_backend_dispatch(self):
+        P, q, A, l, u = self.make_fleet(seed=1)
+        via_backend = solve_qp(P, q, A, l, u, iterations=120,
+                               backend="pallas")
+        direct = solve_qp_lanes(P, q, A, l, u, iterations=120)
+        np.testing.assert_allclose(np.asarray(via_backend.x),
+                                   np.asarray(direct.x), atol=1e-6)
+        with pytest.raises(ValueError, match="unknown solve_qp backend"):
+            solve_qp(P, q, A, l, u, backend="cuda")
+
+    def test_warm_start_converges_and_polish(self):
+        P, q, A, l, u = self.make_fleet(seed=2)
+        cold = solve_qp_lanes(P, q, A, l, u, iterations=400,
+                              eps_abs=1e-4, eps_rel=1e-4)
+        warm = solve_qp_lanes(P, q, A, l, u, iterations=50,
+                              x0=cold.x, y0=cold.y, s0=cold.rho_scale,
+                              polish_iters=10, eps_abs=1e-4, eps_rel=1e-4)
+        assert bool(jnp.all(warm.converged)), (
+            np.asarray(warm.primal_residual), np.asarray(warm.dual_residual))
+
+    def test_requires_single_batch_axis(self):
+        P, q, A, l, u = self.make_fleet()
+        with pytest.raises(ValueError, match="exactly one batch axis"):
+            solve_qp_lanes(P[None], q[None], A[None], l[None], u[None],
+                           iterations=10)
+
+    def test_equality_and_kkt(self):
+        """Per-lane KKT conditions hold in the ORIGINAL scaling."""
+        P, q, A, l, u = self.make_fleet(seed=3)
+        sol = solve_qp_lanes(P, q, A, l, u, iterations=600,
+                             eps_abs=1e-4, eps_rel=1e-4)
+        Ax = np.einsum("bmn,bn->bm", np.asarray(A), np.asarray(sol.x))
+        np.testing.assert_allclose(Ax[:, :4], np.asarray(u)[:, :4],
+                                   atol=5e-3)
+        kkt = (np.einsum("bnm,bm->bn", np.asarray(P), np.asarray(sol.x))
+               + np.asarray(q)
+               + np.einsum("bmn,bm->bn", np.asarray(A), np.asarray(sol.y)))
+        assert np.max(np.abs(kkt)) < 5e-3
