@@ -184,9 +184,11 @@ def main():
 
 
 def _run_stack(args, jax, jnp, np, platform, counts, per_dev):
-    """Config-4 stack weak scaling: the vmapped hierarchical stack tick,
-    data-sharded over the mesh with shard_map (lanes never migrate; the
-    tick itself has NO cross-device traffic — pure DP over scenarios)."""
+    """Config-4 stack weak scaling: the FLEET-NATIVE hierarchical stack tick
+    (r5 production path — fused kernel backends on TPU, XLA on the virtual
+    CPU mesh), data-sharded over the mesh with shard_map (lanes never
+    migrate; the tick itself has NO cross-device traffic — pure DP over
+    scenarios)."""
     from jax.sharding import Mesh, PartitionSpec as P
     from jax import shard_map
 
@@ -194,7 +196,7 @@ def _run_stack(args, jax, jnp, np, platform, counts, per_dev):
     from blf_tpu.models.kinematics import forward_kinematics, frame_pose
     from blf_tpu.models.lipm import LIPMParams
     from blf_tpu.models.robots import HUMANOID_SOLE_FRAMES, make_humanoid_23dof
-    from blf_tpu.mpc.stack import StackConfig, init_stack, make_stack_step
+    from blf_tpu.mpc.stack import StackConfig, init_stack, make_fleet_stack_step
     from blf_tpu.mpc.wholebody import WholeBodyParams
 
     tree = make_humanoid_23dof()
@@ -230,19 +232,23 @@ def _run_stack(args, jax, jnp, np, platform, counts, per_dev):
     poly_b = jnp.broadcast_to(
         jnp.asarray([stance[0], -stance[0], stance[1], -stance[1]],
                     dtype) + half, (horizon, 4))
+    kernels = platform == "tpu"
     config = StackConfig(mpc_dt=0.1, horizon=horizon, wbc_per_mpc=10,
-                         physics_per_wbc=4, plant_method="rosenbrock",
+                         physics_per_wbc=2, plant_method="rosenbrock",
                          mpc_iterations=100, wbc_iterations=150,
-                         wbc_polish_iters=25)
+                         wbc_check_every=150, wbc_polish_iters=25,
+                         mpc_backend="pallas" if kernels else "xla",
+                         wbc_backend="pallas" if kernels else "xla",
+                         plant_lagged_minv=kernels)
     null_poses = {}
     for f in HUMANOID_SOLE_FRAMES:
         _, p0 = frame_pose(tree, poses, f)
         null_poses[f] = (jnp.eye(3, dtype=dtype),
                          p0 + jnp.asarray([0.0, 0.0, config.ground_sag],
                                           dtype))
-    step = make_stack_step(tree, wbc, lipm, config, null_poses,
-                           q_ref=plant.joint_positions,
-                           com_height_ref=float(com[2]))
+    step = make_fleet_stack_step(tree, wbc, lipm, config, null_poses,
+                                 q_ref=plant.joint_positions,
+                                 com_height_ref=float(com[2]))
     state0 = init_stack(tree, lipm, config, plant,
                         2 * horizon + horizon * 4)
     ticks = max(1, args.ticks // 5)
@@ -257,9 +263,7 @@ def _run_stack(args, jax, jnp, np, platform, counts, per_dev):
 
         def local_ticks(s, p):
             def body(carry, _):
-                s2, tr = jax.vmap(
-                    lambda st, pp: step(st, pp, dcm_ref, zmp_ref,
-                                        poly_A, poly_b))(carry, p)
+                s2, tr = step(carry, p, dcm_ref, zmp_ref, poly_A, poly_b)
                 return s2, tr.status
             s, statuses = jax.lax.scan(body, s, None, length=ticks)
             return s, statuses[-1]

@@ -42,7 +42,8 @@ def bucket_batch(batch: int) -> int:
     return b
 
 
-def main(batch: int = 512, backend: str = "pallas") -> None:
+def main(batch: int = 512, backend: str = "pallas", substeps: int = 2,
+         wbc_iters: int = 150, check_every: int = 150) -> None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
@@ -98,15 +99,18 @@ def main(batch: int = 512, backend: str = "pallas") -> None:
                     dtype) + half,
         (horizon, 4),
     )
-    # production operating point (r5): stiff ROS2-W plant at 4 substeps with
-    # the per-tick lagged mass-matrix inverse, WBC ADMM on the fused lane
-    # kernel (one factorization per solve: check_every = iterations), MPC on
-    # the shared-factor batch-minor kernel, warm starts + adaptive ρ carried
+    # production operating point (r5): stiff ROS2-W plant at 2 substeps
+    # (closed-loop DCM within 7.5e-4 m of the 40-substep RK4 reference over
+    # 0.4 s — 4x inside the 3e-3 contract of tests/test_control_stack.py;
+    # 1 substep measures 1.6e-3, kept as margin) with the per-tick lagged
+    # mass-matrix inverse, WBC ADMM on the fused lane kernel (one
+    # factorization per solve: check_every = iterations), MPC on the
+    # shared-factor batch-minor kernel, warm starts + adaptive ρ carried
     # across ticks, low-ρ dual polish tail
     config = StackConfig(mpc_dt=0.1, horizon=horizon, wbc_per_mpc=10,
-                         physics_per_wbc=4, plant_method="rosenbrock",
-                         mpc_iterations=100, wbc_iterations=150,
-                         wbc_check_every=150, wbc_polish_iters=25,
+                         physics_per_wbc=substeps, plant_method="rosenbrock",
+                         mpc_iterations=100, wbc_iterations=wbc_iters,
+                         wbc_check_every=check_every, wbc_polish_iters=25,
                          mpc_backend=backend, wbc_backend=backend,
                          plant_lagged_minv=(backend == "pallas"))
     null_poses = {}
@@ -207,4 +211,12 @@ def main(batch: int = 512, backend: str = "pallas") -> None:
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     backend = "xla" if "--xla" in sys.argv else "pallas"
-    main(int(args[0]) if args else 512, backend)
+    kw = {}
+    for a in sys.argv[1:]:
+        if a.startswith("--substeps="):
+            kw["substeps"] = int(a.split("=")[1])
+        elif a.startswith("--iters="):
+            kw["wbc_iters"] = int(a.split("=")[1])
+        elif a.startswith("--check="):
+            kw["check_every"] = int(a.split("=")[1])
+    main(int(args[0]) if args else 512, backend, **kw)
