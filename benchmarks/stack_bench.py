@@ -136,8 +136,12 @@ def main(batch: int = 512, backend: str = "pallas", substeps: int = 2,
 
     ticks = 5
 
+    # pushes rides as a jit ARGUMENT (not a closure constant): closed-over
+    # concrete arrays are baked into the HLO as constants, so two batch
+    # sizes in the same bucket would produce different programs and defeat
+    # the persistent compilation cache the bucketing exists to exploit
     @jax.jit
-    def run_ticks(state):
+    def run_ticks(state, pushes):
         def body(s, _):
             s2, tr = step(s, pushes, dcm_ref, zmp_ref, poly_A, poly_b)
             return s2, tr
@@ -146,12 +150,12 @@ def main(batch: int = 512, backend: str = "pallas", substeps: int = 2,
         return state, last
 
     t0 = time.perf_counter()
-    state, trace = run_ticks(state)
+    state, trace = run_ticks(state, pushes)
     jax.block_until_ready(state.plant.base_position)
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    state, trace = run_ticks(state)
+    state, trace = run_ticks(state, pushes)
     jax.block_until_ready(state.plant.base_position)
     elapsed = time.perf_counter() - t0
 
