@@ -111,6 +111,7 @@ def main(batch: int = 512, backend: str = "pallas", substeps: int = 2,
                          physics_per_wbc=substeps, plant_method="rosenbrock",
                          mpc_iterations=100, wbc_iterations=wbc_iters,
                          wbc_check_every=check_every, wbc_polish_iters=25,
+                         wbc_scaling_iters=4,
                          mpc_backend=backend, wbc_backend=backend,
                          plant_lagged_minv=(backend == "pallas"))
     null_poses = {}
