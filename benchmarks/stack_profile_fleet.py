@@ -115,7 +115,7 @@ def main(batch: int = 256) -> None:
                          p0 + jnp.asarray([0.0, 0.0, config.ground_sag],
                                           dtype))
     ground = _default_ground(tree, wbc, config)
-    _ground_wrenches, _fdyn = _plant_functions(tree, ground, null_poses, "imu")
+    _ground_wrenches, _fdyn, _ = _plant_functions(tree, ground, null_poses, "imu")
     num_constraints = 2 * horizon + horizon * 4
     state0 = init_stack(tree, lipm, config, plant, num_constraints)
     state = jax.tree_util.tree_map(

@@ -144,6 +144,11 @@ class StackConfig(NamedTuple):
     #   at ≲1 % joint motion per tick) instead of a per-evaluation batched
     #   Cholesky — the r5 profile found XLA's batched Cholesky at ~90 % of
     #   the plant substep cost. The production bench turns this on.
+    ros_op_stiff: bool = False      # fleet path only (requires
+    #   plant_lagged_minv): build the ROS2-W stage operator by
+    #   differentiating ONLY the stiff sole-ground path (frozen J_cᵀ,
+    #   lagged M⁻¹) instead of the full dynamics — halves the per-tick
+    #   jacfwd; accuracy vs the RK4 reference pinned by the stack tests.
 
 
 class StackState(NamedTuple):
@@ -278,7 +283,36 @@ def _plant_functions(tree, ground, null_poses, push_frame):
                                  contact_wrenches=wrenches_s),
             t, rho=1.0, minv=minv)
 
-    return ground_wrenches, fdyn
+    def fdyn_stiff(s, minv, jac_frozen):
+        """Reduced dynamics for the ROS2-W STAGE OPERATOR only (never
+        integrated): kinematic rows exact; ``ν̇ = M⁻¹ Σ J_frozenᵀ w_c(x)``
+        — just the sole-ground spring–damper path, whose ~3e3/s modes are
+        what the operator must capture for L-stability. The parts omitted
+        from the Jacobian (bias forces, gravity, M(q) variation, the
+        constant push/torques) move at |λ| ≲ 50/s and are handled
+        explicitly at dt·λ ≪ 1 — a W-method lags/approximates the operator
+        freely as long as the stiff directions survive. Differentiating
+        this instead of the full dynamics halves the per-tick ``jacfwd``
+        (no CRBA/RNEA/jvp in the tangent graph); closed-loop accuracy vs
+        the RK4 reference is pinned by tests/test_control_stack.py.
+        ``jac_frozen`` maps frame name → (6, nv) tick-start Jacobian."""
+        from blf_tpu.ops.lie import so3_baumgarte_rate
+
+        poses_s = forward_kinematics(
+            tree, s.base_position, s.base_rotation, s.joint_positions)
+        wrenches_s = ground_wrenches(s, poses_s)
+        tau_gen = sum(jac_frozen[f].T @ wrenches_s[f] for f in ground)
+        nu_dot = minv @ tau_gen
+        return rb.FloatingBaseState(
+            base_twist=nu_dot[:6],
+            joint_velocities=nu_dot[6:],
+            base_position=s.base_twist[:3],
+            base_rotation=so3_baumgarte_rate(
+                s.base_rotation, s.base_twist[3:], 1.0),
+            joint_positions=s.joint_velocities,
+        )
+
+    return ground_wrenches, fdyn, fdyn_stiff
 
 
 def make_stack_step(
@@ -327,7 +361,7 @@ def make_stack_step(
     if ground is None:
         ground = _default_ground(tree, wbc_params, config)
 
-    _ground_wrenches, _fdyn = _plant_functions(
+    _ground_wrenches, _fdyn, _fdyn_stiff = _plant_functions(
         tree, ground, null_poses, push_frame)
 
     @f32_matmuls
@@ -581,7 +615,7 @@ def make_fleet_stack_step(
     )
     if ground is None:
         ground = _default_ground(tree, wbc_params, config)
-    _ground_wrenches, _fdyn = _plant_functions(
+    _ground_wrenches, _fdyn, _fdyn_stiff = _plant_functions(
         tree, ground, null_poses, push_frame)
     n, nv, C = tree.num_dofs, tree.nv, len(wbc_params.contact_frames)
 
@@ -632,12 +666,29 @@ def make_fleet_stack_step(
 
         if config.plant_method == "rosenbrock":
             zero_tau = jnp.zeros(n, dtype)
-            ros_op = jax.vmap(
-                lambda p, pw, mi: rosenbrock_operator(
-                    lambda s, tau, t: _fdyn(s, tau, t, pw, minv=mi),
-                    p, u=zero_tau, dt=physics_dt),
-                in_axes=(0, 0, minv_axis),
-            )(stack.plant, push_wrench, minv_tick)                   # (B,D,D)
+            if config.ros_op_stiff:
+                if not config.plant_lagged_minv:
+                    raise ValueError(
+                        "ros_op_stiff requires plant_lagged_minv")
+
+                def op_lane(p, mi):
+                    poses_p = forward_kinematics(
+                        tree, p.base_position, p.base_rotation,
+                        p.joint_positions)
+                    jfro = {f: frame_jacobian(tree, poses_p, f)
+                            for f in wbc_params.contact_frames}
+                    return rosenbrock_operator(
+                        lambda s, u_, t_: _fdyn_stiff(s, mi, jfro),
+                        p, u=zero_tau, dt=physics_dt)
+
+                ros_op = jax.vmap(op_lane)(stack.plant, minv_tick)
+            else:
+                ros_op = jax.vmap(
+                    lambda p, pw, mi: rosenbrock_operator(
+                        lambda s, tau, t: _fdyn(s, tau, t, pw, minv=mi),
+                        p, u=zero_tau, dt=physics_dt),
+                    in_axes=(0, 0, minv_axis),
+                )(stack.plant, push_wrench, minv_tick)               # (B,D,D)
         elif config.plant_method != "rk4":
             raise ValueError(f"unknown plant_method {config.plant_method!r}")
 

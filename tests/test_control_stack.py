@@ -289,6 +289,62 @@ class TestStiffPlant:
             np.asarray(state.push_theta), np.asarray(s_rk.push_theta),
             atol=1.5)
 
+    def test_stiff_operator_fleet_matches_rk4(self):
+        """Production fleet plant (ROS2-W at 2 substeps, per-tick lagged
+        M⁻¹, STIFF-PATH-ONLY stage operator — r5 `ros_op_stiff`) against
+        the explicit-RK4 fleet: a W-method may lag/approximate its
+        operator, but the closed-loop behavior the benchmark measures must
+        stay within the same millimetre contract as the full operator.
+        Measured profile: error peaks ~1.0e-3 m in the push transient and
+        decays to ~3e-4 in steady state (bounded, not accumulating)."""
+        from blf_tpu.mpc.stack import make_fleet_stack_step
+        from blf_tpu.models.kinematics import frame_pose as _fp
+
+        plant = standing_state()
+        poses = forward_kinematics(TREE, plant.base_position,
+                                   plant.base_rotation, plant.joint_positions)
+        com = rb.com_position(TREE, poses)
+        lipm = LIPMParams(jnp.asarray(float(com[2])), jnp.asarray(9.81))
+        stance = jnp.asarray(com[:2])
+        refs = (jnp.broadcast_to(stance, (HORIZON + 1, 2)),
+                jnp.broadcast_to(stance, (HORIZON, 2)),
+                jnp.tile(jnp.asarray([[1.0, 0], [-1.0, 0],
+                                      [0, 1.0], [0, -1.0]]), (HORIZON, 1, 1)),
+                jnp.broadcast_to(
+                    jnp.asarray([stance[0], -stance[0],
+                                 stance[1], -stance[1]])
+                    + jnp.asarray([0.09, 0.09, 0.11, 0.11]), (HORIZON, 4)))
+
+        def make(method, substeps, stiff):
+            cfg = StackConfig(
+                mpc_dt=0.1, horizon=HORIZON, wbc_per_mpc=10,
+                physics_per_wbc=substeps, plant_method=method,
+                mpc_iterations=60, wbc_iterations=250,
+                plant_lagged_minv=stiff, ros_op_stiff=stiff)
+            null_poses = {}
+            for f in HUMANOID_SOLE_FRAMES:
+                _, p0 = _fp(TREE, poses, f)
+                null_poses[f] = (jnp.eye(3),
+                                 p0 + jnp.array([0.0, 0.0, cfg.ground_sag]))
+            stp = jax.jit(make_fleet_stack_step(
+                TREE, WBC, lipm, cfg, null_poses,
+                q_ref=plant.joint_positions, com_height_ref=float(com[2])))
+            st = init_stack(TREE, lipm, cfg, plant, 2 * HORIZON + HORIZON * 4)
+            return stp, jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(a, (2,) + a.shape), st)
+
+        pushes = jnp.asarray([[14.0, 5.0], [-10.0, 7.0]])
+        step_rk, st_rk = make("rk4", 40, False)
+        step_st, st_st = make("rosenbrock", 2, True)
+        worst = 0.0
+        for _ in range(4):
+            st_rk, tr_rk = step_rk(st_rk, pushes, *refs)
+            st_st, tr_st = step_st(st_st, pushes, *refs)
+            worst = max(worst, float(jnp.max(jnp.abs(tr_st.dcm - tr_rk.dcm))))
+        assert worst < 3e-3, worst
+        np.testing.assert_allclose(np.asarray(st_st.push_theta),
+                                   np.asarray(st_rk.push_theta), atol=1.5)
+
     def test_status_and_quarantine(self):
         """Nominal lanes report CONVERGED; a lane whose plant state is
         poisoned mid-episode goes NUMERICAL_ERROR and is reset to its
