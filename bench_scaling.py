@@ -237,9 +237,10 @@ def _run_stack(args, jax, jnp, np, platform, counts, per_dev):
                          physics_per_wbc=2, plant_method="rosenbrock",
                          mpc_iterations=100, wbc_iterations=150,
                          wbc_check_every=150, wbc_polish_iters=25,
+                         wbc_scaling_iters=4,
                          mpc_backend="pallas" if kernels else "xla",
                          wbc_backend="pallas" if kernels else "xla",
-                         plant_lagged_minv=kernels)
+                         plant_lagged_minv=kernels, ros_op_stiff=kernels)
     null_poses = {}
     for f in HUMANOID_SOLE_FRAMES:
         _, p0 = frame_pose(tree, poses, f)
