@@ -103,11 +103,12 @@ def main(batch: int = 256) -> None:
         (horizon, 4),
     )
     config = StackConfig(mpc_dt=0.1, horizon=horizon, wbc_per_mpc=10,
-                         physics_per_wbc=4, plant_method="rosenbrock",
+                         physics_per_wbc=2, plant_method="rosenbrock",
                          mpc_iterations=100, wbc_iterations=150,
                          wbc_check_every=150, wbc_polish_iters=25,
+                         wbc_scaling_iters=4,
                          mpc_backend="pallas", wbc_backend="pallas",
-                         plant_lagged_minv=True)
+                         plant_lagged_minv=True, ros_op_stiff=True)
     null_poses = {}
     for f in HUMANOID_SOLE_FRAMES:
         _, p0 = frame_pose(tree, poses, f)
@@ -115,7 +116,7 @@ def main(batch: int = 256) -> None:
                          p0 + jnp.asarray([0.0, 0.0, config.ground_sag],
                                           dtype))
     ground = _default_ground(tree, wbc, config)
-    _ground_wrenches, _fdyn, _ = _plant_functions(tree, ground, null_poses, "imu")
+    _ground_wrenches, _fdyn, _fdyn_stiff = _plant_functions(tree, ground, null_poses, "imu")
     num_constraints = 2 * horizon + horizon * 4
     state0 = init_stack(tree, lipm, config, plant, num_constraints)
     state = jax.tree_util.tree_map(
@@ -196,14 +197,28 @@ def main(batch: int = 256) -> None:
     minv = minv_only(state)
 
     @jax.jit
-    def op_only(st):
+    def op_full(st):
         return jax.vmap(
             lambda p, pw, mi: rosenbrock_operator(
                 lambda s, tau, t: _fdyn(s, tau, t, pw, minv=mi),
                 p, u=zero_tau, dt=physics_dt)
         )(st.plant, push_w, minv)
-    results["rosop_s"] = round(timed(op_only, state), 4)
-    ros_op = op_only(state)
+    results["rosop_full_s"] = round(timed(op_full, state), 4)
+
+    from blf_tpu.models.kinematics import frame_jacobian as _fj
+
+    @jax.jit
+    def op_stiff(st):
+        def one(p, mi):
+            poses_p = forward_kinematics(
+                tree, p.base_position, p.base_rotation, p.joint_positions)
+            jfro = {f: _fj(tree, poses_p, f) for f in HUMANOID_SOLE_FRAMES}
+            return rosenbrock_operator(
+                lambda s, u_, t_: _fdyn_stiff(s, mi, jfro),
+                p, u=zero_tau, dt=physics_dt)
+        return jax.vmap(one)(st.plant, minv)
+    results["rosop_stiff_s"] = round(timed(op_stiff, state), 4)
+    ros_op = op_stiff(state)
 
     # -- plant x10 (4 ROS2-W substeps each, lagged Minv) ---------------------
     @jax.jit
@@ -246,7 +261,7 @@ def main(batch: int = 256) -> None:
 
     accounted = (results["mpc_s"] + results["wbcbuild10_s"]
                  + results["wbcsolve10_s"] + results["minv_s"]
-                 + results["rosop_s"] + results["plant10_s"]
+                 + results["rosop_stiff_s"] + results["plant10_s"]
                  + results["est10_s"])
     results["accounted_s"] = round(accounted, 4)
     print(json.dumps(results))

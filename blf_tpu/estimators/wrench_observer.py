@@ -54,6 +54,7 @@ __all__ = [
     "MomentumObserverState",
     "init_momentum_observer",
     "momentum_observer_step",
+    "wrench_normal_equations",
     "momentum_observer_scan",
     "wrenches_from_residual",
 ]
@@ -186,6 +187,25 @@ def wrenches_from_residual(
     up to the observer's filter lag). For 6k > nv the Tikhonov term picks the
     minimum-norm wrench distribution (the usual multi-contact ambiguity).
     """
+    G, Jr = wrench_normal_equations(tree, state, frames, residual, reg=reg)
+    f = jnp.linalg.solve(G, Jr)
+    return f.reshape(len(frames), 6)
+
+
+def wrench_normal_equations(
+    tree: KinematicTree,
+    state: FloatingBaseState,
+    frames: Sequence[str],
+    residual: jnp.ndarray,
+    *,
+    reg: float = 1e-9,
+):
+    """The (G, J·r) normal-equation pair of :func:`wrenches_from_residual`
+    WITHOUT the solve — so a fleet caller can vmap the Jacobian assembly
+    and route the tiny batched SPD solve through the batch-minor Cholesky
+    kernel (``blf_tpu.ops.pallas.linalg.spd_solve_lane``) instead of
+    XLA's per-lane ``linalg.solve`` (the r5 stack-tick profile found every
+    XLA batched small factorization worth hoisting)."""
     poses = forward_kinematics(
         tree, state.base_position, state.base_rotation, state.joint_positions
     )
@@ -194,5 +214,4 @@ def wrenches_from_residual(
     )  # (6k, 6+n)
     k6 = J.shape[0]
     G = J @ J.T + reg * jnp.eye(k6, dtype=J.dtype)
-    f = jnp.linalg.solve(G, J @ residual)
-    return f.reshape(len(frames), 6)
+    return G, J @ residual

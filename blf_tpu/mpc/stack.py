@@ -704,6 +704,11 @@ def make_fleet_stack_step(
                              u=torques, method="rk4")
 
         def est_lane(obs, plant_next, torques):
+            # per-lane assembly only; the tiny (6, 6) attribution solve is
+            # hoisted out of the vmap onto the batch-minor Cholesky kernel
+            from blf_tpu.estimators.wrench_observer import (
+                wrench_normal_equations)
+
             obs_next, residual = momentum_observer_step(
                 tree, obs_params, obs, plant_next, torques)
             poses_next = forward_kinematics(
@@ -713,9 +718,9 @@ def make_fleet_stack_step(
             tau_known = sum(
                 frame_jacobian(tree, poses_next, f).T @ ft_meas[f]
                 for f in wbc_params.contact_frames)
-            wrenches = wrenches_from_residual(
+            G, Jr = wrench_normal_equations(
                 tree, plant_next, (push_frame,), residual - tau_known)
-            return obs_next, wrenches[-1, :2]
+            return obs_next, G, Jr
 
         eps = config.wbc_eps if config.wbc_eps is not None else (
             1e-5 if jnp.finfo(dtype).bits >= 64 else 1e-4)
@@ -771,7 +776,11 @@ def make_fleet_stack_step(
                     integrate_lane, in_axes=(0, 0, 0, minv_axis))(
                     plant, torques, push_wrench, minv_tick)
 
-            obs_next, push_meas = jax.vmap(est_lane)(obs, plant_next, torques)
+            from blf_tpu.ops.pallas.linalg import spd_solve_lane
+
+            obs_next, G_est, Jr_est = jax.vmap(est_lane)(
+                obs, plant_next, torques)
+            push_meas = spd_solve_lane(G_est, Jr_est)[:, :2]
             est = jax.vmap(
                 lambda th, cv, pm: rls_step(
                     rls_params, RLSState(th, cv),
