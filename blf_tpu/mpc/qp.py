@@ -480,6 +480,15 @@ def solve_qp_lanes(
 
     check_every = max(1, min(check_every, iterations))
     n_stages = max(1, -(-iterations // check_every))
+    if n_stages > 64:
+        # stages are python-unrolled here (each embeds a K build + kernel
+        # launch); a tiny check_every would explode compile time. The
+        # intended operating point is 1-8 stages per solve (warm-started
+        # control loops); use the XLA backend for fine-grained adaptation.
+        raise ValueError(
+            f"solve_qp_lanes unrolls stages: {n_stages} stages "
+            f"(iterations={iterations}, check_every={check_every}) would "
+            "blow up compilation; raise check_every or use backend='xla'")
 
     x = x_init
     for _ in range(n_stages):
