@@ -111,7 +111,13 @@ def main(batch: int = 512, backend: str = "pallas", substeps: int = 2,
     config = StackConfig(mpc_dt=0.1, horizon=horizon, wbc_per_mpc=10,
                          physics_per_wbc=substeps, plant_method="rosenbrock",
                          mpc_iterations=mpc_iters, wbc_iterations=wbc_iters,
-                         wbc_check_every=check_every, wbc_polish_iters=25,
+                         wbc_check_every=check_every,
+                         # the low-rho dual polish is an XLA-path fix (f32
+                         # dual granularity under refined KKT solves); on
+                         # the fused kernel path it moves neither residuals
+                         # nor convergence and costs a second factorization
+                         # per solve (+2.7% measured) — so it is off there
+                         wbc_polish_iters=(25 if backend == "xla" else 0),
                          wbc_scaling_iters=4,
                          mpc_backend=backend, wbc_backend=backend,
                          plant_lagged_minv=(backend == "pallas"),
