@@ -236,7 +236,8 @@ def _run_stack(args, jax, jnp, np, platform, counts, per_dev):
     config = StackConfig(mpc_dt=0.1, horizon=horizon, wbc_per_mpc=10,
                          physics_per_wbc=2, plant_method="rosenbrock",
                          mpc_iterations=100, wbc_iterations=150,
-                         wbc_check_every=150, wbc_polish_iters=25,
+                         wbc_check_every=150,
+                         wbc_polish_iters=0 if kernels else 25,
                          wbc_scaling_iters=4,
                          mpc_backend="pallas" if kernels else "xla",
                          wbc_backend="pallas" if kernels else "xla",
