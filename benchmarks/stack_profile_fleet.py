@@ -105,7 +105,7 @@ def main(batch: int = 256) -> None:
     config = StackConfig(mpc_dt=0.1, horizon=horizon, wbc_per_mpc=10,
                          physics_per_wbc=2, plant_method="rosenbrock",
                          mpc_iterations=100, wbc_iterations=150,
-                         wbc_check_every=150, wbc_polish_iters=25,
+                         wbc_check_every=150, wbc_polish_iters=0,
                          wbc_scaling_iters=4,
                          mpc_backend="pallas", wbc_backend="pallas",
                          plant_lagged_minv=True, ros_op_stiff=True)
@@ -175,6 +175,7 @@ def main(batch: int = 256) -> None:
                            x0=x_w, y0=y_w, s0=s_w,
                            check_every=config.wbc_check_every,
                            polish_iters=config.wbc_polish_iters,
+                           scaling_iters=config.wbc_scaling_iters,
                            eps_abs=1e-4, eps_rel=1e-4, backend="pallas")
             return (sol.x, sol.y, sol.rho_scale), None
         carry, _ = jax.lax.scan(
